@@ -1,0 +1,27 @@
+"""Pure-numpy mergeable sketches. No Spark imports here — unit-testable standalone."""
+
+from .base import MergeableSketch, merge_all, sketch_class
+from .bloom import BloomSketch, ReferenceBloom, optimal_params
+from .cms import CMSSketch
+from .hashing import double_hash_indices, splitmix64, to_u64, xorshift32_batch, xorshift32_scalar
+from .hll import HLLSketch
+from .kll import KLLSketch
+from .tdigest import TDigestSketch
+
+__all__ = [
+    "MergeableSketch",
+    "merge_all",
+    "sketch_class",
+    "BloomSketch",
+    "ReferenceBloom",
+    "optimal_params",
+    "CMSSketch",
+    "HLLSketch",
+    "KLLSketch",
+    "TDigestSketch",
+    "double_hash_indices",
+    "splitmix64",
+    "to_u64",
+    "xorshift32_batch",
+    "xorshift32_scalar",
+]

@@ -1,0 +1,127 @@
+"""t-digest (Dunning & Ertl) — merging variant with the k1 scale function.
+
+Centroids (mean, weight) kept sorted by mean; incoming values / merged
+digests are buffered and folded with one deterministic sorted-merge pass
+bounded by the k1 scale function k(q) = (delta / 2pi) * asin(2q - 1),
+which concentrates resolution at the tails.  Merge = concatenate centroid
+lists + re-merge: associative, bound-preserving (rank error O(1/delta)
+at the median, tighter at tails), deterministic for a fixed operand
+order; property tests assert quantile-bound preservation under operand
+reordering, not byte equality (SURVEY.md §7f).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .base import MergeableSketch, np_frombytes, np_tobytes, register
+
+
+def _k1(q: float, delta: float) -> float:
+    q = min(1.0, max(0.0, q))
+    return delta / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+
+@register(5)
+class TDigestSketch(MergeableSketch):
+    NAME = "tdigest"
+
+    def __init__(self, delta: float = 200.0, means=None, weights=None, n: int = 0,
+                 vmin: float = math.inf, vmax: float = -math.inf):
+        self.delta = float(delta)
+        self.means = np.empty(0) if means is None else np.asarray(means, dtype=np.float64)
+        self.weights = np.empty(0) if weights is None else np.asarray(weights, dtype=np.float64)
+        self.n = int(n)
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+
+    @classmethod
+    def create(cls, delta: float = 200.0) -> "TDigestSketch":
+        return cls(delta=delta)
+
+    def _fold(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """One deterministic merge pass over sorted (mean, weight) points."""
+        if means.size == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+        k_lo = _k1(0.0, self.delta)
+        for m, w in zip(means[1:], weights[1:]):
+            q_hi = (w_so_far + cur_w + w) / total
+            if _k1(q_hi, self.delta) - k_lo <= 1.0:
+                cur_m += (m - cur_m) * (w / (cur_w + w))
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                k_lo = _k1(w_so_far / total, self.delta)
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def update_values(self, values) -> "TDigestSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self.n += int(v.size)
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._fold(
+            np.concatenate([self.means, v]),
+            np.concatenate([self.weights, np.ones(v.size)]),
+        )
+        return self
+
+    def merge(self, other: "TDigestSketch") -> "TDigestSketch":
+        self._require_same_kind(other)
+        if self.delta != other.delta:
+            raise ValueError("tdigest delta mismatch")
+        self.n += other.n
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._fold(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+        return self
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return self.vmin if math.isfinite(self.vmin) else float(self.means[0])
+        if target >= cum[-1]:
+            return self.vmax if math.isfinite(self.vmax) else float(self.means[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs])
+
+    def _payload_bytes(self) -> bytes:
+        head = struct.pack("<dqdd", self.delta, self.n, self.vmin, self.vmax)
+        return head + np_tobytes(self.means, self.weights)
+
+    @classmethod
+    def _from_payload(cls, payload: bytes) -> "TDigestSketch":
+        delta, n, vmin, vmax = struct.unpack_from("<dqdd", payload, 0)
+        means, weights = np_frombytes(payload[32:], [(np.float64, None), (np.float64, None)])
+        return cls(delta=delta, means=means.copy(), weights=weights.copy(), n=n,
+                   vmin=vmin, vmax=vmax)

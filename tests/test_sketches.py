@@ -1,0 +1,249 @@
+"""Pure-numpy sketch tests — no Spark (SURVEY.md §5.2 items 1-5 core).
+
+Covers: xorshift32 parity with the reference algorithm
+(/root/reference/src/SkmerSplitter.cpp:4-13), zero false negatives,
+FPR bound, merge laws (associativity / commutativity / identity),
+partition-count invariance at the numpy level, estimate-vs-exact bounds,
+and serialization round-trips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from bloomfilter_multithread_spark.sketches import (
+    BloomSketch,
+    CMSSketch,
+    HLLSketch,
+    KLLSketch,
+    MergeableSketch,
+    ReferenceBloom,
+    TDigestSketch,
+    merge_all,
+    xorshift32_batch,
+    xorshift32_scalar,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def _hashes(n: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(2**63), 2**63 - 1, size=n, dtype=np.int64)
+
+
+# ---------------------------------------------------------------- hashing
+class TestXorshift32Parity:
+    def c_reference(self, s: bytes) -> int:
+        # Transliteration of SkmerSplitter.cpp:4-13 (independent of the
+        # library implementation, used as the parity oracle).
+        h = 0
+        for c in s:
+            h ^= c
+            h = (h ^ (h << 13)) & 0xFFFFFFFF
+            h ^= h >> 17
+            h = (h ^ (h << 5)) & 0xFFFFFFFF
+        return h
+
+    def test_scalar_matches_reference_on_dna(self):
+        for s in [b"ACGT", b"A", b"", b"ACGTACGTACGTACGTACGTA", b"TTTTTTTT",
+                  b"GATTACA", bytes(range(1, 128))]:
+            assert xorshift32_scalar(s) == self.c_reference(s)
+
+    def test_batch_matches_scalar_uint32_wraparound(self):
+        strs = ["".join(RNG.choice(list("ACGT"), size=int(k))) for k in RNG.integers(1, 64, 200)]
+        strs += ["", "x" * 1000]
+        batch = xorshift32_batch(strs)
+        assert batch.dtype == np.uint32
+        for s, h in zip(strs, batch):
+            assert int(h) == xorshift32_scalar(s)
+
+    def test_reference_bloom_zero_false_negatives(self):
+        # golden analog of inputs/query.txt ⊂ inputs/sars-cov-2.fasta:
+        # probe a prefix subset of inserted keys -> all present.
+        corpus = ["".join(RNG.choice(list("ACGT"), size=31)) for _ in range(2000)]
+        rb = ReferenceBloom(m_bits=65536)
+        rb.insert(corpus)
+        assert rb.test(corpus[:500]).all()
+
+
+# ---------------------------------------------------------------- bloom
+class TestBloom:
+    def test_zero_false_negatives(self):
+        h = _hashes(50_000, seed=1)
+        b = BloomSketch.for_capacity(50_000, target_fpr=1e-3)
+        b.update_hashes(h)
+        assert b.probe_hashes(h).all()
+
+    def test_fpr_within_published_bound(self):
+        n = 20_000
+        present = _hashes(n, seed=2)
+        absent = _hashes(100_000, seed=3)
+        b = BloomSketch.for_capacity(n, target_fpr=1e-2)
+        b.update_hashes(present)
+        observed = b.probe_hashes(absent).mean()
+        bound = b.fpr_bound(n)
+        # binomial slack: 5 sigma
+        slack = 5 * math.sqrt(bound * (1 - bound) / absent.size)
+        assert observed <= bound + slack + 1e-9
+
+    def test_merge_laws_bit_exact(self):
+        parts = [_hashes(5000, seed=s) for s in range(4)]
+        sk = [BloomSketch(1 << 16, 4).update_hashes(p) for p in parts]
+
+        def build(hs):
+            return BloomSketch(1 << 16, 4).update_hashes(np.concatenate(hs))
+
+        whole = build(parts)
+        merged = merge_all([BloomSketch.from_bytes(s.to_bytes()) for s in sk])
+        assert np.array_equal(whole.words, merged.words)
+        # commutativity
+        ab = BloomSketch.from_bytes(sk[0].to_bytes()).merge(sk[1])
+        ba = BloomSketch.from_bytes(sk[1].to_bytes()).merge(sk[0])
+        assert np.array_equal(ab.words, ba.words)
+        # identity
+        ident = BloomSketch(1 << 16, 4).merge(sk[0])
+        assert np.array_equal(ident.words, sk[0].words)
+
+    def test_partition_count_invariance(self):
+        h = _hashes(30_000, seed=7)
+        for nparts in (2, 8, 64):
+            chunks = np.array_split(h, nparts)
+            merged = merge_all([BloomSketch(1 << 18, 5).update_hashes(c) for c in chunks])
+            if nparts == 2:
+                first = merged.words.copy()
+            else:
+                assert np.array_equal(first, merged.words)
+
+    def test_serde_roundtrip(self):
+        b = BloomSketch(1 << 12, 3).update_hashes(_hashes(100))
+        b2 = MergeableSketch.from_bytes(b.to_bytes())
+        assert isinstance(b2, BloomSketch)
+        assert np.array_equal(b.words, b2.words)
+        assert (b2.m_bits, b2.k) == (b.m_bits, b.k)
+
+    def test_cardinality_estimate(self):
+        n = 10_000
+        b = BloomSketch.for_capacity(n, 1e-3).update_hashes(_hashes(n, seed=9))
+        assert abs(b.estimate_cardinality() - n) / n < 0.05
+
+
+# ---------------------------------------------------------------- hll
+class TestHLL:
+    def test_estimate_within_bound(self):
+        for true_n in (100, 10_000, 500_000):
+            h = _hashes(true_n, seed=true_n)
+            s = HLLSketch(p=14).update_hashes(h)
+            err = abs(s.estimate() - true_n) / true_n
+            assert err < 4 * s.rel_error_bound(), (true_n, err)
+
+    def test_merge_register_exact(self):
+        h = _hashes(100_000, seed=5)
+        whole = HLLSketch(p=12).update_hashes(h)
+        parts = [HLLSketch(p=12).update_hashes(c) for c in np.array_split(h, 7)]
+        merged = merge_all(parts)
+        assert np.array_equal(whole.registers, merged.registers)
+
+    def test_duplicates_dont_inflate(self):
+        h = _hashes(1000, seed=6)
+        s = HLLSketch(p=12).update_hashes(np.tile(h, 50))
+        assert abs(s.estimate() - 1000) / 1000 < 4 * s.rel_error_bound()
+
+    def test_serde(self):
+        s = HLLSketch(p=10).update_hashes(_hashes(5000))
+        s2 = MergeableSketch.from_bytes(s.to_bytes())
+        assert np.array_equal(s.registers, s2.registers) and s2.p == 10
+
+
+# ---------------------------------------------------------------- cms
+class TestCMS:
+    def test_overcount_only_and_bounded(self):
+        rng = np.random.default_rng(11)
+        # zipfian key frequencies over 1000 distinct keys
+        keys = _hashes(1000, seed=11)
+        freqs = np.maximum(1, (10_000 / np.arange(1, 1001) ** 1.2)).astype(np.int64)
+        stream = np.repeat(keys, freqs)
+        rng.shuffle(stream)
+        s = CMSSketch.for_bounds(eps=1e-3, delta=1e-3)
+        s.update_hashes(stream)
+        est = s.estimate_hashes(keys)
+        assert (est >= freqs).all()  # never undercounts
+        assert (est - freqs <= s.error_bound()).all()
+
+    def test_merge_counter_exact(self):
+        stream = np.repeat(_hashes(100, seed=12), 50)
+        whole = CMSSketch(1 << 10, 4).update_hashes(stream)
+        parts = [CMSSketch(1 << 10, 4).update_hashes(c) for c in np.array_split(stream, 5)]
+        merged = merge_all(parts)
+        assert np.array_equal(whole.table, merged.table)
+        assert whole.total == merged.total
+
+    def test_weighted_updates(self):
+        keys = _hashes(10, seed=13)
+        s = CMSSketch(1 << 10, 4).update_hashes(keys, counts=np.arange(1, 11))
+        assert (s.estimate_hashes(keys) >= np.arange(1, 11)).all()
+
+    def test_serde(self):
+        s = CMSSketch(1 << 8, 3).update_hashes(_hashes(500))
+        s2 = MergeableSketch.from_bytes(s.to_bytes())
+        assert np.array_equal(s.table, s2.table) and s2.total == s.total
+
+
+# ---------------------------------------------------------------- kll / tdigest
+class TestQuantileSketches:
+    def _check_ranks(self, sketch_quantile, data, eps, qs=(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)):
+        data = np.sort(data)
+        n = data.size
+        for q in qs:
+            est = sketch_quantile(q)
+            # normalized rank of the estimate must be within eps of q
+            rank = np.searchsorted(data, est, side="right") / n
+            assert abs(rank - q) <= eps, (q, est, rank)
+
+    def test_kll_rank_error(self):
+        data = RNG.lognormal(0, 1.5, 200_000)
+        s = KLLSketch(k=200)
+        for chunk in np.array_split(data, 20):
+            s.update_values(chunk)
+        self._check_ranks(s.quantile, data, eps=s.rank_error_bound())
+
+    def test_kll_merge_bound_preserved(self):
+        data = RNG.normal(0, 1, 100_000)
+        parts = [KLLSketch(k=200).update_values(c) for c in np.array_split(data, 16)]
+        merged = merge_all(parts)
+        assert merged.n == data.size
+        self._check_ranks(merged.quantile, data, eps=2 * merged.rank_error_bound())
+        # operand-order independence of the BOUND (not bytes)
+        rev = merge_all(parts[::-1])
+        self._check_ranks(rev.quantile, data, eps=2 * rev.rank_error_bound())
+
+    def test_tdigest_rank_error(self):
+        data = RNG.lognormal(1.0, 1.5, 100_000)
+        s = TDigestSketch(delta=200)
+        for chunk in np.array_split(data, 10):
+            s.update_values(chunk)
+        self._check_ranks(s.quantile, data, eps=0.02)
+
+    def test_tdigest_merge_bound_preserved(self):
+        data = RNG.exponential(2.0, 100_000)
+        parts = [TDigestSketch(delta=200).update_values(c) for c in np.array_split(data, 8)]
+        merged = merge_all(parts)
+        assert merged.n == data.size
+        self._check_ranks(merged.quantile, data, eps=0.03)
+
+    def test_tdigest_extremes_exact(self):
+        data = RNG.uniform(-5, 5, 10_000)
+        s = TDigestSketch(delta=100).update_values(data)
+        assert s.quantile(0.0) == data.min()
+        assert s.quantile(1.0) == data.max()
+
+    def test_serde(self):
+        data = RNG.normal(0, 1, 10_000)
+        for s in (KLLSketch(k=128).update_values(data), TDigestSketch(delta=100).update_values(data)):
+            s2 = MergeableSketch.from_bytes(s.to_bytes())
+            for q in (0.1, 0.5, 0.9):
+                assert s2.quantile(q) == pytest.approx(s.quantile(q))
+            assert s2.n == s.n
