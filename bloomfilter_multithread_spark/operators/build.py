@@ -1,0 +1,214 @@
+"""Distributed sketch build + merge + probe — the engine core.
+
+Re-expression of the reference pipeline (SURVEY.md §3.1):
+
+  reference                                  here
+  ---------                                  ----
+  FASTA char scan (FastaReader.cpp:25-49)    columnar parquet/Iceberg scan
+  route `hmin % q` (SkmerExtractor.cpp:164)  optional salted repartition —
+                                             NOT needed for correctness:
+                                             merge is assoc+comm, so ANY
+                                             partitioning yields the same
+                                             sketch (partition-invariance
+                                             test); used only to balance skew
+  per-thread disjoint Bloom insert           per-partition partial sketches
+  (SkmerSplitter.cpp:62-89)                  in ONE mapInArrow pass (numpy)
+  (no merge — filters stay disjoint,         bitwise-OR / max / add
+   main.cpp:119-127)                         treeAggregate merge, log depth
+  probe (SkmerSplitter.cpp:91-151)           broadcast sketch + Arrow-batch
+                                             probe column (zero shuffle)
+
+Hot-path rule: ALL string hashing is JVM-side ``F.xxhash64`` inside
+whole-stage codegen; Python sees int64/float64 Arrow batches only.
+
+Scale notes (100 TB / 10^12 turns, 1000 executors):
+- the scan+hash+partial-build stage is embarrassingly parallel, no shuffle
+  at all unless ``salt_partitions`` is requested;
+- partials are fixed-size (sketch bytes, KB-MB each), so the merge moves
+  O(P * sketch_bytes) — independent of row count; treeAggregate keeps the
+  driver from becoming the fan-in bottleneck at large P;
+- probe broadcasts one merged sketch and adds a column map-side — no
+  shuffle, no join.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType
+
+from ..sketches import MergeableSketch, sketch_class
+from ..sketches.base import merge_all
+
+
+@dataclass
+class SketchSpec:
+    """One sketch to build: over a hashed key expression (bloom/hll/cms)
+    or a numeric value expression (kll/tdigest)."""
+
+    name: str
+    kind: str  # bloom | hll | cms | kll | tdigest
+    column: str | Column  # input column / SQL expression string
+    params: dict = field(default_factory=dict)
+
+    VALUE_KINDS = ("kll", "tdigest")
+
+    @property
+    def is_value(self) -> bool:
+        return self.kind in self.VALUE_KINDS
+
+    def make(self) -> MergeableSketch:
+        return sketch_class(self.kind).create(**self.params)
+
+
+def _input_col(spec: SketchSpec) -> Column:
+    c = F.expr(spec.column) if isinstance(spec.column, str) else spec.column
+    if spec.is_value:
+        return c.cast("double").alias(spec.name)
+    # JVM-side hashing: string/num key -> int64, stays in codegen
+    return F.xxhash64(c).alias(spec.name)
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("spec_name", pa.string()),
+        ("partition_id", pa.int32()),
+        ("n_rows", pa.int64()),
+        ("sketch", pa.binary()),
+    ]
+)
+PARTIAL_DDL = "spec_name string, partition_id int, n_rows long, sketch binary"
+
+
+def build_partials(df: DataFrame, specs: list[SketchSpec],
+                   salt_partitions: int | None = None) -> DataFrame:
+    """One vectorized pass over ``df`` building every spec's partial
+    per Spark partition. Returns a tiny DataFrame (P x len(specs) rows)
+    of serialized partials with per-partition lineage (partition_id,
+    n_rows) — the checkpointable unit for resumable builds.
+    """
+    proj = df.select(*[_input_col(s) for s in specs])
+    if salt_partitions:
+        # explicit salted round-robin spread for skewed upstreams; the
+        # merged result is invariant to this (tested), it only balances work
+        proj = proj.repartition(salt_partitions)
+    spec_list = [(s.name, s.kind, dict(s.params), s.is_value) for s in specs]
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        sketches = {name: sketch_class(kind).create(**params) for name, kind, params, _ in spec_list}
+        n = 0
+        for batch in batches:
+            n += batch.num_rows
+            for i, (name, _, _, is_value) in enumerate(spec_list):
+                col = batch.column(i)
+                arr = col.to_numpy(zero_copy_only=False)
+                if is_value:
+                    sketches[name].update_values(arr[~np.isnan(arr)] if arr.dtype.kind == "f" else arr)
+                else:
+                    # drop nulls (xxhash64 of null is null -> NaN after to_numpy)
+                    if col.null_count:
+                        arr = arr[~np.isnan(arr)].astype(np.int64)
+                    else:
+                        arr = arr.astype(np.int64, copy=False)
+                    sketches[name].update_hashes(arr)
+        pid = TaskContext.get().partitionId()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "spec_name": [name for name, *_ in spec_list],
+                "partition_id": [pid] * len(spec_list),
+                "n_rows": [n] * len(spec_list),
+                "sketch": [sketches[name].to_bytes() for name, *_ in spec_list],
+            },
+            schema=_PARTIAL_SCHEMA,
+        )
+
+    return proj.mapInArrow(build, schema=PARTIAL_DDL)
+
+
+def tree_merge(partials: DataFrame, depth: int | None = None) -> dict[str, MergeableSketch]:
+    """treeAggregate OR/max/add-merge of partial sketches — the merge
+    primitive the reference lacks (its q filters stay disjoint forever,
+    /root/reference/src/main.cpp:119-127). Executor-side combining with
+    log-depth fan-in; the driver receives exactly one sketch per spec."""
+    rdd = partials.select("spec_name", "sketch").rdd.map(lambda r: {r[0]: bytes(r[1])})
+    nparts = max(1, rdd.getNumPartitions())
+    depth = depth or max(2, int(math.ceil(math.log(max(nparts, 2), 4))))
+
+    def comb(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for k, v in b.items():
+            if k in out:
+                s = MergeableSketch.from_bytes(out[k]).merge_bytes(v)
+                out[k] = s.to_bytes()
+            else:
+                out[k] = v
+        return out
+
+    merged = rdd.treeAggregate({}, comb, comb, depth=depth)
+    return {k: MergeableSketch.from_bytes(v) for k, v in merged.items()}
+
+
+def build_sketches(df: DataFrame, specs: list[SketchSpec],
+                   salt_partitions: int | None = None) -> dict[str, MergeableSketch]:
+    """scan -> per-partition partials (mapInArrow) -> treeAggregate merge."""
+    return tree_merge(build_partials(df, specs, salt_partitions=salt_partitions))
+
+
+def merge_partials_local(partial_rows) -> dict[str, MergeableSketch]:
+    """Driver-side fold of collected partial rows (used by checkpoint
+    resume where partials are already tiny local objects)."""
+    by_name: dict[str, list[bytes]] = {}
+    for r in partial_rows:
+        by_name.setdefault(r["spec_name"], []).append(bytes(r["sketch"]))
+    return {k: merge_all(v) for k, v in by_name.items()}
+
+
+# ---------------------------------------------------------------- probe
+
+
+def with_might_contain(df: DataFrame, key: str | Column, sketch, out_col: str = "might_contain",
+                       ) -> DataFrame:
+    """Broadcast-probe: adds a boolean column testing key membership in a
+    merged Bloom sketch — the analog of the reference query phase
+    (SkmerSplitter.cpp:91-151) and of Spark's own runtime
+    BloomFilterMightContain. Zero false negatives by construction.
+
+    Map-side only: JVM xxhash64 -> Arrow batch -> numpy probe. No shuffle.
+    """
+    blob = sketch.to_bytes() if isinstance(sketch, MergeableSketch) else bytes(sketch)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(blob)
+
+    @F.pandas_udf(BooleanType())
+    def probe(h):
+        import pandas as pd
+
+        sk = MergeableSketch.from_bytes(bc.value)
+        return pd.Series(sk.probe_hashes(h.to_numpy(dtype=np.int64, na_value=0)))
+
+    key_col = F.expr(key) if isinstance(key, str) else key
+    return df.withColumn(out_col, probe(F.xxhash64(key_col)))
+
+
+def with_cms_estimate(df: DataFrame, key: str | Column, sketch, out_col: str = "cms_estimate",
+                      ) -> DataFrame:
+    """Adds the count-min frequency estimate for each row's key (map-side)."""
+    blob = sketch.to_bytes() if isinstance(sketch, MergeableSketch) else bytes(sketch)
+    bc = df.sparkSession.sparkContext.broadcast(blob)
+
+    @F.pandas_udf(LongType())
+    def est(h):
+        import pandas as pd
+
+        sk = MergeableSketch.from_bytes(bc.value)
+        return pd.Series(sk.estimate_hashes(h.to_numpy(dtype=np.int64, na_value=0)))
+
+    key_col = F.expr(key) if isinstance(key, str) else key
+    return df.withColumn(out_col, est(F.xxhash64(key_col)))

@@ -1,0 +1,149 @@
+"""Spark integration tests for the build/merge/probe core (SURVEY.md §5.2).
+
+Covers: zero-FN golden (query ⊂ corpus ⇒ all might_contain, the analog of
+inputs/query.txt being an exact prefix of inputs/sars-cov-2.fasta), FPR
+bound on guaranteed-absent keys, partition-count invariance of merged
+sketches (Spark-level), estimate-vs-exact against Spark aggregates, and
+shingle SQL-reproducibility against DuckDB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_multithread_spark.functions.shingles import (
+    duckdb_shingles_cte,
+    explode_shingles,
+)
+from bloomfilter_multithread_spark.operators.build import (
+    SketchSpec,
+    build_partials,
+    build_sketches,
+    tree_merge,
+    with_cms_estimate,
+    with_might_contain,
+)
+from bloomfilter_multithread_spark.sources.transcripts import synth_query_set
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus):
+    specs = [
+        SketchSpec("bloom_text", "bloom", "text", {"m_bits": 1 << 22, "k": 5}),
+        SketchSpec("hll_conv", "hll", "conv_id", {"p": 14}),
+        SketchSpec("cms_role", "cms", "role", {"width": 1 << 12, "depth": 5}),
+        SketchSpec("kll_len", "kll", "length(text)", {"k": 200}),
+        SketchSpec("td_len", "tdigest", "length(text)", {"delta": 200.0}),
+    ]
+    return build_sketches(corpus, specs)
+
+
+class TestBuildMergeProbe:
+    def test_zero_false_negatives_golden(self, spark, corpus, built):
+        """Probe table 'present' part is copied verbatim from the corpus —
+        every row must hit (reference all-ones expectation, main.cpp:276-281)."""
+        q = synth_query_set(spark, corpus)
+        probed = with_might_contain(q, "text", built["bloom_text"])
+        res = (
+            probed.groupBy("expected_present")
+            .agg(F.count("*").alias("n"), F.sum(F.col("might_contain").cast("long")).alias("hits"))
+            .collect()
+        )
+        by = {r["expected_present"]: r for r in res}
+        assert by[True]["hits"] == by[True]["n"]  # zero FN
+        n_corpus = corpus.count()
+        fpr_bound = built["bloom_text"].fpr_bound(n_corpus)
+        observed = by[False]["hits"] / by[False]["n"]
+        slack = 5 * np.sqrt(max(fpr_bound, 1e-12) / by[False]["n"])
+        assert observed <= fpr_bound + slack
+
+    def test_partition_count_invariance_spark(self, spark, corpus):
+        """Same input at 2 vs 32 partitions ⇒ bit-identical Bloom/HLL/CMS
+        (SURVEY.md §5.2.4) — the Spark-level merge-law witness."""
+        specs = [
+            SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 4}),
+            SketchSpec("h", "hll", "conv_id", {"p": 12}),
+            SketchSpec("c", "cms", "role", {"width": 1 << 10, "depth": 4}),
+        ]
+        s2 = build_sketches(corpus.repartition(2), specs)
+        s32 = build_sketches(corpus.repartition(32), specs)
+        assert np.array_equal(s2["b"].words, s32["b"].words)
+        assert np.array_equal(s2["h"].registers, s32["h"].registers)
+        assert np.array_equal(s2["c"].table, s32["c"].table)
+
+    def test_salted_repartition_invariance(self, spark, corpus):
+        specs = [SketchSpec("b", "bloom", "conv_id", {"m_bits": 1 << 18, "k": 4})]
+        plain = build_sketches(corpus, specs)
+        salted = build_sketches(corpus, specs, salt_partitions=16)
+        assert np.array_equal(plain["b"].words, salted["b"].words)
+
+    def test_hll_vs_exact_distinct(self, spark, corpus, built):
+        exact = corpus.select("conv_id").distinct().count()
+        est = built["hll_conv"].estimate()
+        assert abs(est - exact) / exact < 4 * built["hll_conv"].rel_error_bound()
+
+    def test_cms_vs_exact_counts(self, spark, corpus, built):
+        exact = {r["role"]: r["n"] for r in corpus.groupBy("role").count().withColumnRenamed("count", "n").collect()}
+        est_df = with_cms_estimate(
+            corpus.select("role").distinct(), "role", built["cms_role"], "est"
+        ).collect()
+        for r in est_df:
+            assert r["est"] >= exact[r["role"]]
+            assert r["est"] - exact[r["role"]] <= built["cms_role"].error_bound()
+
+    def test_quantiles_vs_exact(self, spark, corpus, built):
+        exact = corpus.selectExpr(
+            "percentile(length(text), array(0.1, 0.5, 0.9)) as q"
+        ).first()["q"]
+        n = corpus.count()
+        lens = np.sort(np.array([r[0] for r in corpus.selectExpr("length(text)").collect()]))
+        for sk_name, eps in (("kll_len", built["kll_len"].rank_error_bound()), ("td_len", 0.02)):
+            for q, ex in zip((0.1, 0.5, 0.9), exact):
+                est = built[sk_name].quantile(q)
+                rank = np.searchsorted(lens, est, side="right") / n
+                assert abs(rank - q) <= 2 * eps, (sk_name, q, est, ex)
+
+    def test_partials_carry_lineage(self, spark, corpus):
+        parts = build_partials(
+            corpus, [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 16, "k": 3})]
+        ).collect()
+        assert all(r["n_rows"] >= 0 and r["partition_id"] >= 0 for r in parts)
+        assert sum(r["n_rows"] for r in parts) == corpus.count()
+        merged = tree_merge(
+            build_partials(corpus, [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 16, "k": 3})])
+        )
+        assert "b" in merged
+
+    def test_null_keys_skipped(self, spark, corpus):
+        # 'tool' is null on most rows — build must not crash nor count nulls
+        specs = [SketchSpec("h", "hll", "tool", {"p": 12})]
+        sk = build_sketches(corpus, specs)
+        exact = corpus.where("tool is not null").select("tool").distinct().count()
+        assert abs(sk["h"].estimate() - exact) / max(exact, 1) < 0.1
+
+
+class TestShingleSQLParity:
+    def test_spark_vs_duckdb_shingles(self, spark, sf_dir):
+        """explode_shingles must be row-for-row identical to the documented
+        DuckDB CTE — the keystone for every shingle-based oracle query."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("doc_id < 200")
+        got = (
+            explode_shingles(docs, "text", k=5)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"), F.countDistinct("shingle").alias("n_distinct"))
+            .orderBy("doc_id")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+        cte = duckdb_shingles_cte("(SELECT * FROM documents WHERE doc_id < 200)", "doc_id", "text", 5)
+        want = con.sql(
+            f"WITH sh AS ({cte}) SELECT doc_id, COUNT(*) n, COUNT(DISTINCT shingle) d"
+            " FROM sh GROUP BY doc_id ORDER BY doc_id"
+        ).fetchall()
+        assert [(r["doc_id"], r["n_shingles"], r["n_distinct"]) for r in got] == [
+            (a, b, c) for a, b, c in want
+        ]
