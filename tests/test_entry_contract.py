@@ -1,0 +1,70 @@
+"""Local mirror of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry at sf0.01 and compare against its
+``oracle_sql()`` via DuckDB — row count, column names, and
+order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    df = q(spark, SF_DIR)
+    cols = sorted(df.columns)
+    got = _norm([r.asDict() for r in df.collect()], cols)
+    if sql is None:
+        assert len(got) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    ores = ddb.sql(sql)
+    ocols = sorted(ores.columns)
+    assert cols == ocols, f"column mismatch: spark={cols} oracle={ocols}"
+    orows = [dict(zip(ores.columns, t)) for t in ores.fetchall()]
+    want = _norm(orows, ocols)
+    assert len(got) == len(want), f"row count mismatch: {len(got)} vs {len(want)}"
+    mism = [i for i, (a, b) in enumerate(zip(got, want)) if a != b][:5]
+    assert not mism, f"value mismatch at {mism[:3]}: {[(got[i], want[i]) for i in mism[:3]]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "n_shingles", "n_candidate_hits"]
