@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as DataFrame plans (no driver-side loops,
+no collect of data rows) so they scale to 10^9+ documents:
+
+- exact          hash-groupBy on md5(text) — one shuffle on the digest
+- minhash_lsh    shingle -> JVM xxhash64 -> n_perm universal-hash mins as
+                 codegen aggregates -> band buckets -> bucket self-join ->
+                 exact-Jaccard confirm.  Candidate recall is the standard
+                 LSH s-curve 1-(1-s^r)^b; the confirm step removes false
+                 positives, so precision is exact.
+- simhash        token hashes -> per-bit signed sums (64 codegen aggs) ->
+                 64-bit signature -> banded buckets -> Hamming confirm
+- ngram_jaccard  exact all-pairs Jaccard via distinct-shingle self-join
+                 (the brute-force oracle; quadratic in bucket size, use on
+                 bounded candidate sets / as correctness baseline)
+- embedding      cosine near-dup via random-hyperplane LSH buckets +
+                 exact cosine confirm (see similarity.py for primitives)
+
+Skew note: the shingle self-join salts nothing because distinct shingles
+are near-unique; the LSH bucket join is the skew point (a hot band =
+boilerplate text) — ``max_bucket`` caps pathological buckets explicitly,
+the documented trade-off being that docs inside an over-cap bucket skip
+candidate generation (they are boilerplate near-everything pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.shingles import explode_shingles
+
+# Mersenne prime 2^61-1: universal hashing (a*h+b) mod p stays in uint64
+_P61 = (1 << 61) - 1
+
+
+def _perm_coeffs(n_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P61, size=n_perm, dtype=np.int64).tolist()
+    b = rng.integers(0, _P61, size=n_perm, dtype=np.int64).tolist()
+    return a, b
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_md5, keep_id, dup_count) — keeper = min id per identical text."""
+    return df.groupBy(F.md5(text_col).alias("text_md5")).agg(
+        F.min(id_col).cast("long").alias("keep_id"),
+        F.count("*").cast("long").alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 5, n_perm: int = 64, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>[n_perm]) — min over distinct shingles of
+    (a_i * h + b_i) mod 2^61-1, h = xxhash64(shingle) & MAXLONG.
+
+    Everything is JVM codegen: explode -> distinct -> n_perm min()
+    aggregates. One shuffle (the groupBy)."""
+    a, b = _perm_coeffs(n_perm, seed)
+    sh = (
+        explode_shingles(df.select(id_col, text_col), text_col, k)
+        .select(id_col, F.xxhash64("shingle").alias("h64"))
+        .distinct()
+    )
+    # 2^61-1 modulus keeps a*h+b inside signed-128? Spark has no u128;
+    # use (a * (h mod p) + b) mod p with h folded to [0, p) first and the
+    # product computed in decimal(38,0) to avoid overflow.
+    hp = F.pmod(F.col("h64"), F.lit(_P61)).cast("decimal(38,0)")
+    mins = [
+        F.min(F.pmod(hp * F.lit(a[i]) + F.lit(b[i]), F.lit(_P61)).cast("long")).alias(f"m{i}")
+        for i in range(n_perm)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id", bands: int = 16,
+                           max_bucket: int = 1000) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash).
+    Returns candidate pairs (id_a < id_b). With n_perm=64, bands=16 (r=4),
+    the s-curve crosses 0.5 near s≈0.58."""
+    n_perm_col = F.size("sig")
+    rows_per_band = (n_perm_col / bands).cast("int")
+    banded = (
+        sigs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: F.struct(
+                        bi.alias("band_idx"),
+                        F.xxhash64(
+                            F.to_json(F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band))
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("bnd"),
+        )
+        .select("_id", "bnd.band_idx", "bnd.band_hash")
+    )
+    # cap pathological buckets (boilerplate skew) explicitly
+    wcnt = Window.partitionBy("band_idx", "band_hash")
+    banded = banded.withColumn("_bn", F.count("*").over(wcnt)).where(F.col("_bn") <= max_bucket)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard: |A∩B| / (|A|+|B|-|A∩B|) over distinct shingle
+    sets, via shingle-equality self-join. If ``pairs`` (id_a,id_b) is
+    given, restrict to those candidates (the LSH confirm step); otherwise
+    all-pairs (the brute-force oracle). Emits jaccard in basis points."""
+    sh = (
+        explode_shingles(df.select(id_col, text_col), text_col, k)
+        .select(F.col(id_col).alias("_id"), "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+    out = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("n_common") * 10000.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_bp") >= int(threshold * 10000))
+    )
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard_bp"
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5,
+                  n_perm: int = 64, bands: int = 16, threshold: float = 0.8,
+                  seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH candidates -> exact confirm.
+    Result precision is exact (confirm step); recall follows the LSH
+    s-curve for pairs near the threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n_perm, seed)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    return exact_jaccard_pairs(df, cands, id_col, text_col, k, threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       ) -> DataFrame:
+    """64-bit SimHash over token hashes: bit b of the signature is the
+    sign of sum over tokens of (2*bit_b(h)-1). 64 codegen'd conditional
+    sums, one shuffle."""
+    tok = (
+        df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"))
+        .select(id_col, F.xxhash64("tok").alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(63)  # bit 63 = sign bit; skip to stay in positive long
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    sig = sum(
+        (F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+         for b in range(63)),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dups by SimHash: band the 64-bit signature into ``bands``
+    16-bit chunks (pigeonhole: hamming<=bands-1 guarantees a shared band),
+    bucket-join, then exact popcount confirm. Returns (id_a, id_b, hamming)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    width = 64 // bands
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.shiftrightunsigned("simhash", bi * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    .alias("band_val"),
+                ),
+            )
+        ).alias("bnd"),
+    ).select("_id", "simhash", "bnd.band_idx", "bnd.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+                        F.col("hamming").cast("int"))

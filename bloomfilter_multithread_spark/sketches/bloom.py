@@ -107,14 +107,54 @@ class BloomSketch(MergeableSketch):
     def estimate(self, h) -> np.ndarray:
         return self.probe_hashes(h)
 
+    # Adaptive payload: per-partition partials are typically sparse
+    # (set bits ~ n_partition * k << m), and shipping the full dense bit
+    # array per partition makes the merge I/O O(P * m/8) — the measured
+    # bottleneck at m=2^26.  Sparse format stores set-bit indices
+    # (uint32 when m < 2^32) so partial size is O(n_partition * k * 4B),
+    # independent of m.  Dense kicks in automatically once cheaper.
+    _FMT_DENSE, _FMT_SPARSE32, _FMT_SPARSE64 = 0, 1, 2
+
+    def _set_bit_indices(self) -> np.ndarray:
+        nz = np.flatnonzero(self.words)
+        if nz.size == 0:
+            return np.empty(0, dtype=_U64)
+        out = []
+        for start in range(0, nz.size, 1 << 16):  # bound temp matrix to ~32MB
+            chunk = nz[start : start + (1 << 16)]
+            mat = (self.words[chunk][:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)
+            r, c = np.nonzero(mat)
+            out.append(chunk[r].astype(_U64) * _U64(64) + c.astype(_U64))
+        return np.concatenate(out)
+
     def _payload_bytes(self) -> bytes:
-        return struct.pack("<QI", self.m_bits, self.k) + np_tobytes(self.words)
+        nset = int(np.count_nonzero(
+            np.unpackbits(self.words.view(np.uint8))
+        )) if self.words.any() else 0
+        idx_width = 4 if self.m_bits <= (1 << 32) else 8
+        head = struct.pack("<QI", self.m_bits, self.k)
+        if nset * idx_width < self.words.nbytes:
+            idx = self._set_bit_indices()
+            if idx_width == 4:
+                return head + struct.pack("<B", self._FMT_SPARSE32) + np_tobytes(idx.astype(np.uint32))
+            return head + struct.pack("<B", self._FMT_SPARSE64) + np_tobytes(idx)
+        return head + struct.pack("<B", self._FMT_DENSE) + np_tobytes(self.words)
 
     @classmethod
     def _from_payload(cls, payload: bytes) -> "BloomSketch":
         m_bits, k = struct.unpack_from("<QI", payload, 0)
-        (words,) = np_frombytes(payload[12:], [(_U64, None)])
-        return cls(m_bits=m_bits, k=k, words=words.copy())
+        (fmt,) = struct.unpack_from("<B", payload, 12)
+        body = payload[13:]
+        if fmt == cls._FMT_DENSE:
+            (words,) = np_frombytes(body, [(_U64, None)])
+            return cls(m_bits=m_bits, k=k, words=words.copy())
+        dtype = np.uint32 if fmt == cls._FMT_SPARSE32 else _U64
+        (idx,) = np_frombytes(body, [(dtype, None)])
+        sk = cls(m_bits=m_bits, k=k)
+        if idx.size:
+            u = idx.astype(_U64, copy=False)
+            np.bitwise_or.at(sk.words, (u >> _U64(6)).astype(np.int64), _U64(1) << (u & _U64(63)))
+        return sk
 
 
 class ReferenceBloom:

@@ -18,7 +18,8 @@ DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
 def get_spark(app: str = "bloomfilter-multithread-spark", master: str | None = None,
-              shuffle_partitions: int | None = None, extra_conf: dict | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None, extra_conf: dict | None = None,
+              driver_memory: str | None = None) -> SparkSession:
     """Session tuned for the sketch workload: AQE on (runtime coalesce +
     skew-join splitting), Arrow enabled for pandas/Arrow UDF transfer."""
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
@@ -35,7 +36,8 @@ def get_spark(app: str = "bloomfilter-multithread-spark", master: str | None = N
             str(shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS",
                                                          DEFAULT_SHUFFLE_PARTITIONS))),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory",
+                driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
