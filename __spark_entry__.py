@@ -238,6 +238,266 @@ def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dedup family (documents table): exact / minhash-LSH / simhash / n-gram
+# jaccard / embedding-cosine — SURVEY.md §2.3 + training-data ops
+# --------------------------------------------------------------------------
+
+
+def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash -> LSH bands -> exact-Jaccard confirm. Precision is exact
+    (confirm step); candidate recall 1-(1-s^4)^16 ≈ 1 at the planted
+    near-dup similarity (s≈0.98), so output == brute-force oracle."""
+    from bloomfilter_multithread_spark.operators.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup(docs, k=5, n_perm=64, bands=16, threshold=0.8)
+
+
+def _q_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard (the exact baseline the LSH path must
+    reproduce). Quadratic — oracle/baseline use only."""
+    from bloomfilter_multithread_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, None, k=5, threshold=0.8)
+
+
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit md5-based SimHash, banded 4x8 bits (pigeonhole: recall = 1
+    for hamming<=3), exact popcount confirm — fully SQL-mirrorable."""
+    from bloomfilter_multithread_spark.operators.dedup import (
+        md5_hash_col,
+        simhash_near_dups,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3, bands=4, n_bits=32,
+                             hasher=md5_hash_col)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (brute force, broadcast query
+    side, JVM-codegen scoring)."""
+    from bloomfilter_multithread_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    return brute_force_topk(emb, q, k=10, qid_col="vec_id")
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.40 (embedding near-dup baseline)."""
+    from bloomfilter_multithread_spark.operators.similarity import cosine_pairs_brute
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs_brute(emb, threshold_bp=4000)
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + exact rerank —
+    the 100 TB scale path (equi-join on buckets instead of cross join).
+    Recall < 1 by design ⇒ no SQL oracle (driver rows-only check); the
+    recall-vs-brute-force bound is asserted in tests/test_similarity.py."""
+    from bloomfilter_multithread_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    return lsh_topk(emb, q, k=10, dim=64, n_bits=8, tables=8, qid_col="vec_id")
+
+
+# --------------------------------------------------------------------------
+# text analysis family (documents table)
+# --------------------------------------------------------------------------
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_multithread_spark.operators.textstats import (
+        lang_id,
+        quality_score_bp,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id("text").alias("lang_pred"),
+        quality_score_bp("text").alias("quality_bp"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bloomfilter_multithread_spark.operators.textstats import fingerprint_md5min
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5min("text", k=5).alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (media derived deterministically from documents)
+# --------------------------------------------------------------------------
+
+
+def _media_from_docs(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") * 20).cast("long").alias("duration_ms"),
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp (JVM-side
+    sequence explode; SQL mirror = generate_series)."""
+    docs = _read(spark, sf_dir, "documents")
+    media = _media_from_docs(docs)
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0).cast("long")),
+                    F.lit(1000).cast("long"),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode + feature extraction over binary payloads via
+    mapInPandas (deterministic sha256 fake; the real codec seam raises
+    NotImplementedError). Not SQL-expressible -> driver rows-only check."""
+    from bloomfilter_multithread_spark.operators.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents")
+    media = _media_from_docs(docs)
+    feats = extract_features(media, "payload", dim=32)
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+        F.floor(F.element_at("feature", 1) * 1000 + F.lit(0.5)).cast("long").alias("f0_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# transcript-domain queries (north_star input shape, derived
+# deterministically from events so the DuckDB oracle sees the same rows)
+# --------------------------------------------------------------------------
+
+_TRANSCRIPTS_SQL = """
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS turn_idx,
+           CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                WHEN event_type = 'error' THEN 'tool'
+                ELSE 'assistant' END AS role,
+           event_type || ' ' || props AS text,
+           event_type AS tool,
+           ts
+    FROM events
+"""
+
+
+def _transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        "user_id",
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.col("event_type").alias("tool"),
+        "ts",
+    )
+
+
+def _q_transcript_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline on the north-star input shape: Bloom built
+    over a corpus of transcript turns (even user ids), probed by the query
+    turns (odd user ids), exact semi-join confirm ≡ IN-subquery; per-conv
+    hit counts in stable (conv_id) order."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+        with_might_contain,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    corpus = tr.where(F.col("user_id") % 2 == 0)
+    probe = tr.where(F.col("user_id") % 2 == 1)
+    bloom = build_sketches(
+        corpus, [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 5})]
+    )["b"]
+    cand = with_might_contain(probe, "text", bloom)
+    confirmed = (
+        cand.where("might_contain")
+        .join(F.broadcast(corpus.select("text").distinct()), "text", "left_semi")
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_seen"))
+    )
+    return (
+        probe.groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_turns"))
+        .join(confirmed, "conv_id", "left")
+        .select("conv_id", "n_turns", F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"))
+    )
+
+
+def _q_transcript_hll_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-conversation cardinality on the transcript shape +
+    bound check vs exact."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    hll = build_sketches(tr, [SketchSpec("h", "hll", "conv_id", {"p": 12})])["h"]
+    est, bound = hll.estimate(), hll.rel_error_bound()
+    return tr.agg(F.countDistinct("conv_id").cast("long").alias("exact_convs")).select(
+        "exact_convs",
+        (F.abs(F.lit(est) - F.col("exact_convs")) / F.col("exact_convs")
+         <= F.lit(4 * bound)).alias("within_bound"),
+    )
+
+
+def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPR witness: build over customer keys, probe a disjoint key range
+    (custkey + 10^9); observed FPR must be within 3x the analytic
+    (1-e^{-kn/m})^k bound (reference semantics, SkmerSplitter.cpp:83)."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+        with_might_contain,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    n = cust.count()
+    m_bits, k = 1 << 17, 5
+    bloom = build_sketches(
+        cust, [SketchSpec("b", "bloom", "c_custkey", {"m_bits": m_bits, "k": k})]
+    )["b"]
+    absent = cust.select((F.col("c_custkey") + F.lit(1_000_000_000)).alias("probe_key"))
+    probed = with_might_contain(absent, "probe_key", bloom)
+    import math as _math
+
+    analytic = (1.0 - _math.exp(-k * n / m_bits)) ** k
+    return probed.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        (F.sum(F.col("might_contain").cast("long")) / F.count("*")
+         <= F.lit(max(3 * analytic, 2.0 / n))).alias("fpr_within_bound"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semijoin": _q_bloom_semijoin,
@@ -249,14 +509,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
+        "minhash_neardup": _q_minhash_neardup,
+        "jaccard_allpairs": _q_jaccard_allpairs,
+        "simhash_neardup": _q_simhash_neardup,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_pairs": _q_cosine_pairs,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "lang_quality": _q_lang_quality,
+        "fingerprint": _q_fingerprint,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
+        "transcript_seen_text": _q_transcript_seen_text,
+        "transcript_hll_convs": _q_transcript_hll_convs,
+        "bloom_fpr": _q_bloom_fpr,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.functions.shingles import duckdb_shingles_cte
+    from bloomfilter_multithread_spark.operators.dedup import (
+        duckdb_jaccard_pairs_sql,
+        duckdb_simhash_pairs_sql,
+    )
+    from bloomfilter_multithread_spark.operators.similarity import (
+        duckdb_cosine_pairs_sql,
+        duckdb_topk_sql,
+    )
+    from bloomfilter_multithread_spark.operators.textstats import (
+        duckdb_lang_id,
+        duckdb_quality_bp,
+    )
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
+    jacc = duckdb_jaccard_pairs_sql("documents", "doc_id", "text", 5, 0.8)
     return {
+        "minhash_neardup": jacc,
+        "jaccard_allpairs": jacc,
+        "simhash_neardup": duckdb_simhash_pairs_sql(
+            "documents", "doc_id", "text", n_bits=32, hex_digits=8, max_hamming=3
+        ),
+        "cosine_topk": duckdb_topk_sql("embeddings", "vec_id", "embedding",
+                                       "vec_id % 50 = 0", 10),
+        "cosine_pairs": duckdb_cosine_pairs_sql("embeddings", "vec_id", "embedding", 4000),
+        "lang_quality": f"""
+            SELECT l.doc_id, l.lang_pred, q.quality_bp
+            FROM ({duckdb_lang_id('documents')}) l
+            JOIN ({duckdb_quality_bp('documents')}) q USING (doc_id)
+        """,
+        "fingerprint": f"""
+            WITH sh AS ({sh_cte})
+            SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS media_id, CAST(g.frame_ts_ms AS BIGINT) AS frame_ts_ms
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(0, greatest(n_chars * 20 - 1, 0),
+                                                        1000)) AS frame_ts_ms) g
+            WHERE doc_id % 3 = 2
+        """,
+        "transcript_seen_text": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            corpus AS (SELECT text FROM transcripts WHERE user_id % 2 = 0),
+            probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+            FROM probe GROUP BY conv_id
+        """,
+        "transcript_hll_convs": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL})
+            SELECT COUNT(DISTINCT conv_id) AS exact_convs, TRUE AS within_bound
+            FROM transcripts
+        """,
+        "bloom_fpr": """
+            SELECT COUNT(*) AS n_probed, TRUE AS fpr_within_bound FROM customer
+        """,
         "bloom_semijoin": """
             SELECT DISTINCT l_orderkey FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)

@@ -175,49 +175,65 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------- simhash
 
 
+def md5_hash_col(col: Column | str, hex_digits: int = 8) -> Column:
+    """Cross-engine-mirrorable integer hash: first ``hex_digits`` hex chars
+    of md5 as a BIGINT (32 bits at 8 digits). Slower than xxhash64 but has
+    an exact DuckDB mirror ``('0x' || substr(md5(x), 1, n))::BIGINT`` for
+    driver-oracle parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, hex_digits), 16, 10).cast("long")
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       ) -> DataFrame:
-    """64-bit SimHash over token hashes: bit b of the signature is the
-    sign of sum over tokens of (2*bit_b(h)-1). 64 codegen'd conditional
-    sums, one shuffle."""
+                       n_bits: int = 63, hasher=None) -> DataFrame:
+    """n_bits-bit SimHash over token hashes: bit b of the signature is the
+    sign of sum over tokens (with multiplicity) of (2*bit_b(h)-1).
+    ``n_bits`` codegen'd conditional sums, one shuffle. Default hasher is
+    JVM xxhash64 (63 usable bits); pass ``md5_hash_col`` for an
+    oracle-mirrorable 32-bit variant."""
+    hasher = hasher or F.xxhash64
     tok = (
         df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"))
-        .select(id_col, F.xxhash64("tok").alias("h"))
+        .select(id_col, hasher(F.col("tok")).alias("h"))
     )
     sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(63)  # bit 63 = sign bit; skip to stay in positive long
+        for b in range(n_bits)
     ]
     agg = tok.groupBy(id_col).agg(*sums)
     sig = sum(
         (F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-         for b in range(63)),
+         for b in range(n_bits)),
         F.lit(0).cast("long"),
     )
     return agg.select(id_col, sig.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dups by SimHash: band the 64-bit signature into ``bands``
-    16-bit chunks (pigeonhole: hamming<=bands-1 guarantees a shared band),
+                      max_hamming: int = 3, bands: int = 4, n_bits: int = 64,
+                      hasher=None) -> DataFrame:
+    """Near-dups by SimHash: band the n_bits-bit signature into ``bands``
+    chunks (pigeonhole: hamming<=bands-1 guarantees a shared band),
     bucket-join, then exact popcount confirm. Returns (id_a, id_b, hamming)."""
-    sigs = simhash_signatures(df, id_col, text_col)
-    width = 64 // bands
+    sigs = simhash_signatures(df, id_col, text_col,
+                              n_bits=min(n_bits, 63), hasher=hasher)
+    width = n_bits // bands
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band_idx"),
-                    F.shiftrightunsigned("simhash", bi * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("band_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for bi in range(bands)
+                ]
             )
         ).alias("bnd"),
     ).select("_id", "simhash", "bnd.band_idx", "bnd.band_val")
@@ -239,3 +255,63 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
     return pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"),
                         F.col("hamming").cast("int"))
+
+
+# ------------------------------------------------------- DuckDB oracle SQL
+# Exact mirrors for the driver correctness gate. The LSH pipelines use an
+# exact confirm step, so their output equals these brute-force SQL results
+# whenever candidate recall is 1 on the dataset (deterministic: fixed
+# seeds, fixed data; asserted by tests/test_entry_contract.py).
+
+
+def duckdb_jaccard_pairs_sql(table: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 5,
+                             threshold: float = 0.8) -> str:
+    """Brute-force n-gram-Jaccard pairs >= threshold, bp-rounded exactly
+    like ``exact_jaccard_pairs``."""
+    from ..functions.shingles import duckdb_shingles_cte
+
+    cte = duckdb_shingles_cte(table, id_col, text_col, k)
+    return f"""
+        WITH sh AS ({cte}),
+        d AS (SELECT DISTINCT {id_col} AS _id, shingle FROM sh),
+        sz AS (SELECT _id, COUNT(*) AS n FROM d GROUP BY _id),
+        c AS (SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS n_common
+              FROM d a JOIN d b ON a.shingle = b.shingle AND a._id < b._id
+              GROUP BY a._id, b._id)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(FLOOR(n_common * 10000.0 / (x.n + y.n - n_common) + 0.5) AS BIGINT)
+                 AS jaccard_bp
+        FROM c JOIN sz x ON c.id_a = x._id JOIN sz y ON c.id_b = y._id
+        WHERE FLOOR(n_common * 10000.0 / (x.n + y.n - n_common) + 0.5)
+              >= {int(threshold * 10000)}
+    """
+
+
+def duckdb_simhash_pairs_sql(table: str = "documents", id_col: str = "doc_id",
+                             text_col: str = "text", n_bits: int = 32,
+                             hex_digits: int = 8, max_hamming: int = 3) -> str:
+    """Brute-force SimHash near-dup pairs with the md5-based 32-bit hash —
+    bit-exact mirror of ``simhash_near_dups(..., hasher=md5_hash_col)``."""
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(n_bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT {id_col} AS _id,
+                   ('0x' || substr(md5(t.tok), 1, {hex_digits}))::BIGINT AS h
+            FROM (SELECT {id_col},
+                         unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+                  FROM {table}) t
+        ),
+        sums AS (SELECT _id, {sums} FROM tok GROUP BY _id),
+        sig AS (SELECT _id, {sig} AS simhash FROM sums)
+        SELECT CAST(a._id AS BIGINT) AS id_a, CAST(b._id AS BIGINT) AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sig a JOIN sig b ON a._id < b._id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -145,3 +145,64 @@ def embedding_near_dups(vectors: DataFrame, threshold_bp: int = 9900, dim: int =
         .where(F.col("cosine_bp") >= threshold_bp)
     )
     return pairs.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine_bp")
+
+
+# ------------------------------------------------------- DuckDB oracle SQL
+
+_DDB_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def duckdb_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
+                    vec_col: str = "embedding", query_pred: str = "vec_id % 50 = 0",
+                    k: int = 10) -> str:
+    """Exact cosine top-k mirror of ``brute_force_topk`` (queries = rows of
+    the same table matching ``query_pred``)."""
+    cos = _DDB_COS.format(a="q.qv", b=f"v.{vec_col}")
+    return f"""
+        WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qv
+                   FROM {table} WHERE {query_pred}),
+        scored AS (
+            SELECT q.query_id, v.{id_col} AS vec_id,
+                   CAST(FLOOR({cos} * 10000 + 0.5) AS BIGINT) AS cosine_bp
+            FROM q CROSS JOIN {table} v
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC
+            ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine_bp, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def duckdb_cosine_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
+                            vec_col: str = "embedding", threshold_bp: int = 4000) -> str:
+    """Exact all-pairs cosine >= threshold mirror of the brute-force path
+    of ``embedding_near_dups``."""
+    cos = _DDB_COS.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+        SELECT CAST(a.{id_col} AS BIGINT) AS id_a, CAST(b.{id_col} AS BIGINT) AS id_b,
+               CAST(FLOOR({cos} * 10000 + 0.5) AS BIGINT) AS cosine_bp
+        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+        WHERE FLOOR({cos} * 10000 + 0.5) >= {threshold_bp}
+    """
+
+
+def cosine_pairs_brute(vectors: DataFrame, threshold_bp: int = 4000,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine pairs (the dense-side baseline of
+    ``embedding_near_dups``; O(N^2) — bounded inputs / oracle use only)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_bp",
+                    F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)).cast("long"))
+        .where(F.col("cosine_bp") >= threshold_bp)
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine_bp")
+    )
