@@ -1,0 +1,188 @@
+"""Structured Streaming surface: incremental sketch maintenance.
+
+The reference is a bounded two-phase batch program — its FIFO/semaphore
+machinery (/root/reference/src/main.cpp:83-103) is intra-process
+micro-batching, not event-time streaming (SURVEY.md §2.2). This module is
+the genuinely-new streaming surface the mergeable-sketch design enables:
+
+- ``StreamingSketchBuilder``: readStream -> foreachBatch -> per-batch
+  partial build (the same one-pass ``build_partials`` as batch) ->
+  merge-into-state. Because every sketch merge is associative +
+  commutative + idempotent-on-replay *at the batch level* (we commit
+  per-epoch markers), a restart replays at most one epoch and converges
+  to the identical sketch a batch build over the full input produces
+  (asserted bit-exactly for Bloom/HLL/CMS in tests).
+- ``running_distinct_per_key``: custom stateful operator via
+  ``applyInPandasWithState`` — per-key running HLL registers kept in
+  GroupState, emitting (key, estimate) updates each micro-batch.
+- ``windowed_counts``: event-time tumbling windows + watermark for late
+  data, straight from the built-in surface.
+
+Scale notes: foreachBatch state is O(specs * sketch_bytes) regardless of
+stream length; the per-batch shuffle is only the tiny partials exchange.
+At 10^12 turns the same pipeline runs continuously with
+``trigger(processingTime=...)`` on a real cluster; tests use
+``trigger(availableNow=True)`` for bounded determinism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.build import SketchSpec, build_partials, merge_partials_local
+from ..sketches import MergeableSketch
+from ..sketches.base import merge_all
+
+
+class StreamingSketchBuilder:
+    """Maintains one merged sketch per spec across micro-batches.
+
+    State layout (local or any shared FS):
+      <state_dir>/state.json   {"epoch": N, "sketches": {name: hex}}
+    written atomically (tmp + rename). ``foreach_batch`` is idempotent
+    per epoch: a replayed epoch (restart after crash between state write
+    and checkpoint commit) is detected and skipped, so state never
+    double-counts a batch even though sketch merge itself is not
+    idempotent for CMS.
+    """
+
+    def __init__(self, specs: list[SketchSpec], state_dir: str):
+        self.specs = specs
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "state.json")
+
+    def load_state(self) -> tuple[int, dict[str, MergeableSketch]]:
+        try:
+            with open(self._state_path) as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            return -1, {}
+        sketches = {
+            k: MergeableSketch.from_bytes(bytes.fromhex(v))
+            for k, v in raw["sketches"].items()
+        }
+        return raw["epoch"], sketches
+
+    def _write_state(self, epoch: int, sketches: dict[str, MergeableSketch]) -> None:
+        payload = {
+            "epoch": epoch,
+            "sketches": {k: v.to_bytes().hex() for k, v in sketches.items()},
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.state_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._state_path)
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        last_epoch, state = self.load_state()
+        if epoch_id <= last_epoch:
+            return  # replayed epoch after restart — already merged
+        rows = build_partials(batch_df, self.specs).collect()
+        delta = merge_partials_local(rows)
+        for name, sk in delta.items():
+            state[name] = sk if name not in state else state[name].merge(sk)
+        self._write_state(epoch_id, state)
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def build_available(self, stream_df: DataFrame, checkpoint_dir: str,
+                        timeout_s: int = 300) -> dict[str, MergeableSketch]:
+        """Process everything currently available, then return the merged
+        sketches (Trigger.AvailableNow — the streaming analog of the
+        reference's phase barrier, main.cpp:124-133)."""
+        q = self.start(stream_df, checkpoint_dir, available_now=True)
+        q.awaitTermination(timeout_s)
+        _, state = self.load_state()
+        return state
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema,
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
+
+
+# ----------------------------------------------------- stateful operator
+
+
+_HLL_STATE_SCHEMA = "regs binary, n long"
+_RUNNING_OUT_DDL = "key string, n_turns long, est_distinct long"
+
+
+def running_distinct_per_key(stream_df: DataFrame, key_col: str, value_col: str,
+                             p: int = 12, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming op: per-key running distinct-value
+    estimate via HLL registers held in GroupState. Emits one updated
+    (key, n_turns, est_distinct) row per key per micro-batch.
+
+    The update path is vectorized: values arrive pre-hashed (JVM
+    xxhash64); the pandas handler folds whole batches into the register
+    array with numpy — no per-row Python."""
+    from ..sketches.hll import HLLSketch
+
+    hashed = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    )
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            regs_bytes, n = state.get
+            sk = HLLSketch.from_bytes(bytes(regs_bytes))
+        else:
+            sk, n = HLLSketch.create(p=p), 0
+        for pdf in pdf_iter:
+            sk.update_hashes(pdf["h"].to_numpy(dtype=np.int64))
+            n += len(pdf)
+        state.update((bytearray(sk.to_bytes()), n))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_turns": [n], "est_distinct": [int(round(sk.estimate()))]}
+        )
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_OUT_DDL,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
+                    window: str = "10 minutes", watermark: str = "30 minutes",
+                    key_col: str | None = None) -> DataFrame:
+    """Event-time tumbling-window counts + approx distinct with watermarked
+    late-data handling — the built-in surface, included for completeness of
+    the streaming operator inventory (SURVEY.md §2.2 'streaming: none')."""
+    agg_keys = [F.window(ts_col, window).alias("win")]
+    if key_col:
+        agg_keys.append(F.col(key_col))
+    aggs = [F.count("*").alias("n_rows")]
+    if key_col is None:
+        aggs.append(F.approx_count_distinct(ts_col).alias("approx_distinct_ts"))
+    return stream_df.withWatermark(ts_col, watermark).groupBy(*agg_keys).agg(*aggs)

@@ -1,0 +1,130 @@
+"""Structured Streaming tests: incremental sketch maintenance equals the
+batch build bit-for-bit (Bloom/HLL/CMS), restart/resume converges, the
+custom stateful per-key HLL operator tracks exact distincts within bound,
+and watermarked windowed aggregation runs end-to-end."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+from bloomfilter_multithread_spark.sources.transcripts import synth_transcripts
+from bloomfilter_multithread_spark.streaming.sketch_stream import (
+    StreamingSketchBuilder,
+    read_parquet_stream,
+    running_distinct_per_key,
+    windowed_counts,
+)
+
+
+def _specs():
+    return [
+        SketchSpec("bloom_text", "bloom", "text", {"m_bits": 1 << 18, "k": 5}),
+        SketchSpec("hll_conv", "hll", "conv_id", {"p": 12}),
+        SketchSpec("cms_role", "cms", "role", {"width": 1 << 12, "depth": 5}),
+    ]
+
+
+@pytest.fixture()
+def stream_input(spark, tmp_path):
+    """Two parquet 'arrival' files of transcript turns + the full batch df."""
+    df = synth_transcripts(spark, n_convs=300, seed=11)
+    in_dir = str(tmp_path / "in")
+    a = df.where("conv_id < 'conv-00000150'")
+    b = df.where("conv_id >= 'conv-00000150'")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    first_files = set(os.listdir(in_dir))
+    return df, a, b, in_dir, first_files
+
+
+def test_stream_build_equals_batch(spark, tmp_path, stream_input):
+    df, a, b, in_dir, _ = stream_input
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    builder = StreamingSketchBuilder(_specs(), str(tmp_path / "state"))
+    stream = read_parquet_stream(spark, in_dir, df.schema, max_files_per_trigger=1)
+    got = builder.build_available(stream, str(tmp_path / "ckpt"))
+    want = build_sketches(spark.read.parquet(in_dir), _specs())
+    for name in want:
+        assert got[name].to_bytes() == want[name].to_bytes(), name
+
+
+def test_stream_resume_appends(spark, tmp_path, stream_input):
+    df, a, b, in_dir, _ = stream_input
+    builder = StreamingSketchBuilder(_specs(), str(tmp_path / "state"))
+    stream = read_parquet_stream(spark, in_dir, df.schema)
+    got1 = builder.build_available(stream, str(tmp_path / "ckpt"))
+    est1 = got1["hll_conv"].estimate()
+
+    # more data arrives; restart the query against the same checkpoint+state
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    stream2 = read_parquet_stream(spark, in_dir, df.schema)
+    got2 = builder.build_available(stream2, str(tmp_path / "ckpt"))
+    want = build_sketches(spark.read.parquet(in_dir), _specs())
+    assert got2["hll_conv"].estimate() > est1
+    for name in want:
+        assert got2[name].to_bytes() == want[name].to_bytes(), name
+
+
+def test_stream_epoch_replay_is_idempotent(spark, tmp_path, stream_input):
+    df, a, *_ = stream_input
+    builder = StreamingSketchBuilder(_specs(), str(tmp_path / "state"))
+    builder.foreach_batch(a, epoch_id=0)
+    _, state_once = builder.load_state()
+    builder.foreach_batch(a, epoch_id=0)  # crash-replay of the same epoch
+    _, state_twice = builder.load_state()
+    # CMS merge is additive — replay must NOT double-count
+    assert state_once["cms_role"].to_bytes() == state_twice["cms_role"].to_bytes()
+
+
+def test_running_distinct_per_key(spark, tmp_path):
+    df = synth_transcripts(spark, n_convs=60, seed=7)
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+    stream = read_parquet_stream(spark, in_dir, df.schema)
+    out = running_distinct_per_key(stream, key_col="role", value_col="text", p=12)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_distinct")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["key"]: r for r in spark.sql("select * from running_distinct").collect()}
+    exact_d = {
+        r["role"]: r["d"]
+        for r in df.selectExpr("role", "text").distinct().groupBy("role").count()
+        .withColumnRenamed("count", "d").collect()
+    }
+    for role, row in got.items():
+        bound = 4 * 1.04 / (2**12) ** 0.5
+        assert abs(row["est_distinct"] - exact_d[role]) / exact_d[role] <= max(bound, 0.05), role
+
+
+def test_windowed_counts_runs(spark, tmp_path):
+    df = synth_transcripts(spark, n_convs=50, seed=3)
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+    stream = read_parquet_stream(spark, in_dir, df.schema)
+    out = windowed_counts(stream, ts_col="ts", window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from wincounts").collect()
+    # append mode emits only watermark-closed windows; total counted rows
+    # must never exceed the input and windows must be disjoint hours
+    assert sum(r["n_rows"] for r in rows) <= df.count()
+    starts = [r["win"]["start"] for r in rows]
+    assert len(starts) == len(set(starts))
