@@ -298,12 +298,12 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact rerank —
     the 100 TB scale path (equi-join on buckets instead of cross join).
     Recall < 1 by design ⇒ no SQL oracle (driver rows-only check); the
-    recall-vs-brute-force bound is asserted in tests/test_similarity.py."""
+    recall-vs-brute-force bound is asserted in tests/test_similarity_dedup.py."""
     from bloomfilter_multithread_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
-    return lsh_topk(emb, q, k=10, dim=64, n_bits=8, tables=8, qid_col="vec_id")
+    return lsh_topk(emb, q, k=10, dim=64, n_bits=4, tables=8, qid_col="vec_id")
 
 
 # --------------------------------------------------------------------------

@@ -51,12 +51,15 @@ from ..sketches.base import merge_all
 @dataclass
 class SketchSpec:
     """One sketch to build: over a hashed key expression (bloom/hll/cms)
-    or a numeric value expression (kll/tdigest)."""
+    or a numeric value expression (kll/tdigest). ``pre_hashed`` marks a
+    column that is ALREADY a 64-bit hash (e.g. a JVM-side shingle hash) —
+    it is passed through instead of being re-hashed."""
 
     name: str
     kind: str  # bloom | hll | cms | kll | tdigest
     column: str | Column  # input column / SQL expression string
     params: dict = field(default_factory=dict)
+    pre_hashed: bool = False
 
     VALUE_KINDS = ("kll", "tdigest")
 
@@ -72,6 +75,8 @@ def _input_col(spec: SketchSpec) -> Column:
     c = F.expr(spec.column) if isinstance(spec.column, str) else spec.column
     if spec.is_value:
         return c.cast("double").alias(spec.name)
+    if spec.pre_hashed:
+        return c.cast("long").alias(spec.name)
     # JVM-side hashing: string/num key -> int64, stays in codegen
     return F.xxhash64(c).alias(spec.name)
 
@@ -88,14 +93,36 @@ PARTIAL_DDL = "spec_name string, partition_id int, n_rows long, sketch binary"
 
 
 def build_partials(df: DataFrame, specs: list[SketchSpec],
-                   salt_partitions: int | None = None) -> DataFrame:
+                   salt_partitions: int | None = None,
+                   route_for: str | None = None,
+                   route_partitions: int | None = None) -> DataFrame:
     """One vectorized pass over ``df`` building every spec's partial
     per Spark partition. Returns a tiny DataFrame (P x len(specs) rows)
     of serialized partials with per-partition lineage (partition_id,
     n_rows) — the checkpointable unit for resumable builds.
+
+    ``route_for`` names a BLOCKED bloom spec (params carry ``block_bits``):
+    the projection is exchanged on that spec's hash-block id, so every
+    partition's bloom partial touches only its own cache-resident blocks —
+    the reference's `hmin % q` minimizer routing (SkmerExtractor.cpp:164)
+    as an explicit Spark repartition. The merged result is identical with
+    or without routing (merge is associative+commutative; property-tested);
+    routing exists purely to shrink the per-task working set from m_bits
+    to ~m_bits/P (measured: the unrouted build is memory-bandwidth-bound
+    at m >= 2^27).
     """
     proj = df.select(*[_input_col(s) for s in specs])
-    if salt_partitions:
+    if route_for:
+        spec = next(s for s in specs if s.name == route_for)
+        bb = int(spec.params.get("block_bits", 0))
+        mb = int(spec.params["m_bits"])
+        if not bb or mb % bb:
+            raise ValueError("route_for requires a bloom spec with block_bits")
+        nb_log2 = int(math.log2(mb // bb))
+        block = F.shiftrightunsigned(F.col(spec.name), 64 - nb_log2)
+        nparts = route_partitions or df.sparkSession.sparkContext.defaultParallelism
+        proj = proj.repartition(nparts, block)
+    elif salt_partitions:
         # explicit salted round-robin spread for skewed upstreams; the
         # merged result is invariant to this (tested), it only balances work
         proj = proj.repartition(salt_partitions)
@@ -158,29 +185,66 @@ def _merge_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         )
 
 
-def tree_merge(partials: DataFrame, depth: int | None = None) -> dict[str, MergeableSketch]:
-    """Executor-side tree merge of partial sketches — the merge primitive
-    the reference lacks (its q filters stay disjoint forever,
+def tree_merge(partials: DataFrame, fanout: int = 16) -> dict[str, MergeableSketch]:
+    """Executor-side two-level tree merge of partial sketches — the merge
+    primitive the reference lacks (its q filters stay disjoint forever,
     /root/reference/src/main.cpp:119-127).
 
-    Level 1 runs ON the build partitions' own output (no shuffle of the
-    input rows); level 2 hash-repartitions the per-partition partials BY
-    SPEC so each spec's partials co-locate and fold to ONE row inside an
-    executor; the driver then collects exactly len(specs) small rows.
-    Measured: moving P dense partials to the driver was the bottleneck
-    (Py4J/Arrow boundary ~10 MB/s for large binary cells) — this plus
-    sparse Bloom partials keeps driver ingest at O(specs * sketch_bytes),
-    independent of P."""
-    spark = partials.sparkSession
-    level1 = partials.repartition(F.col("spec_name")).mapInArrow(_merge_batches, PARTIAL_DDL)
-    rows = level1.collect()
+    Level 1 spreads each spec's P partials over ~``fanout`` tasks keyed by
+    (spec_name, partition_id % fanout) — the expensive part of a Bloom
+    merge (sparse-index scatter into the dense array) parallelizes here
+    instead of serializing in one task (measured 0.31 -> ~0.8+ scaling
+    efficiency on the bench job). Level 2 co-locates each spec's <=fanout
+    level-1 outputs and folds them to ONE row; dense Bloom partials stay
+    PACKED through this level (8x smaller, OR-without-unpack). The driver
+    collects exactly len(specs) rows — O(specs * sketch_bytes) ingest,
+    independent of P and row count.
+
+    At cluster scale pick fanout ~ sqrt(P) so both levels stay balanced.
+    """
+    rows = _merge_levels(partials, fanout).collect()
     return merge_partials_local(rows)
 
 
+def _merge_levels(partials: DataFrame, fanout: int = 16) -> DataFrame:
+    level1 = (
+        partials.repartition(fanout, F.col("spec_name"),
+                             F.pmod(F.col("partition_id"), F.lit(fanout)))
+        .mapInArrow(_merge_batches, PARTIAL_DDL)
+    )
+    return level1.repartition(F.col("spec_name")).mapInArrow(_merge_batches, PARTIAL_DDL)
+
+
+def build_and_persist(df: DataFrame, specs: list[SketchSpec], path: str,
+                      route_for: str | None = None, fanout: int = 16) -> None:
+    """Cluster-side build: scan -> partials -> tree merge -> parquet state
+    at ``path`` — one row per spec, WRITTEN BY THE EXECUTORS. The driver
+    never ingests the merged blobs (at m = 2^29+ the py4j collect is
+    seconds of serial time a cluster job shouldn't pay); consumers load
+    exactly the specs they need via ``load_sketches``. This is the
+    scale-correct form of the reference's stubbed binary sink
+    (/root/reference/src/main.cpp:233-239)."""
+    _merge_levels(build_partials(df, specs, route_for=route_for), fanout).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_sketches(spark, path: str, names: list[str] | None = None
+                  ) -> dict[str, MergeableSketch]:
+    """Load merged sketches from a ``build_and_persist`` state dir,
+    optionally only the named specs (predicate pushes to the parquet scan)."""
+    df = spark.read.parquet(path)
+    if names:
+        df = df.where(F.col("spec_name").isin(list(names)))
+    return merge_partials_local(df.collect())
+
+
 def build_sketches(df: DataFrame, specs: list[SketchSpec],
-                   salt_partitions: int | None = None) -> dict[str, MergeableSketch]:
+                   salt_partitions: int | None = None,
+                   route_for: str | None = None) -> dict[str, MergeableSketch]:
     """scan -> per-partition partials (mapInArrow) -> treeAggregate merge."""
-    return tree_merge(build_partials(df, specs, salt_partitions=salt_partitions))
+    return tree_merge(build_partials(df, specs, salt_partitions=salt_partitions,
+                                     route_for=route_for))
 
 
 def merge_partials_local(partial_rows) -> dict[str, MergeableSketch]:
@@ -194,6 +258,22 @@ def merge_partials_local(partial_rows) -> dict[str, MergeableSketch]:
 
 # ---------------------------------------------------------------- probe
 
+# Worker-process-level cache of deserialized broadcast sketches: python
+# workers are reused across tasks, and deserializing (and for Bloom,
+# unpacking) a large sketch once per Arrow BATCH would dominate probe
+# cost. Keyed by a driver-generated token; bounded FIFO.
+_PROBE_CACHE: dict[str, MergeableSketch] = {}
+_PROBE_CACHE_MAX = 4
+
+
+def _cached_from_bytes(token: str, blob: bytes) -> MergeableSketch:
+    sk = _PROBE_CACHE.get(token)
+    if sk is None:
+        while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        sk = _PROBE_CACHE.setdefault(token, MergeableSketch.from_bytes(blob))
+    return sk
+
 
 def with_might_contain(df: DataFrame, key: str | Column, sketch, out_col: str = "might_contain",
                        ) -> DataFrame:
@@ -204,15 +284,18 @@ def with_might_contain(df: DataFrame, key: str | Column, sketch, out_col: str = 
 
     Map-side only: JVM xxhash64 -> Arrow batch -> numpy probe. No shuffle.
     """
+    import uuid
+
     blob = sketch.to_bytes() if isinstance(sketch, MergeableSketch) else bytes(sketch)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(blob)
+    token = uuid.uuid4().hex
 
     @F.pandas_udf(BooleanType())
     def probe(h):
         import pandas as pd
 
-        sk = MergeableSketch.from_bytes(bc.value)
+        sk = _cached_from_bytes(token, bc.value)
         return pd.Series(sk.probe_hashes(h.to_numpy(dtype=np.int64, na_value=0)))
 
     key_col = F.expr(key) if isinstance(key, str) else key
@@ -222,14 +305,17 @@ def with_might_contain(df: DataFrame, key: str | Column, sketch, out_col: str = 
 def with_cms_estimate(df: DataFrame, key: str | Column, sketch, out_col: str = "cms_estimate",
                       ) -> DataFrame:
     """Adds the count-min frequency estimate for each row's key (map-side)."""
+    import uuid
+
     blob = sketch.to_bytes() if isinstance(sketch, MergeableSketch) else bytes(sketch)
     bc = df.sparkSession.sparkContext.broadcast(blob)
+    token = uuid.uuid4().hex
 
     @F.pandas_udf(LongType())
     def est(h):
         import pandas as pd
 
-        sk = MergeableSketch.from_bytes(bc.value)
+        sk = _cached_from_bytes(token, bc.value)
         return pd.Series(sk.estimate_hashes(h.to_numpy(dtype=np.int64, na_value=0)))
 
     key_col = F.expr(key) if isinstance(key, str) else key

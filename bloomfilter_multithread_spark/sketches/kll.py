@@ -77,12 +77,31 @@ class KLLSketch(MergeableSketch):
 
     # -- updates ----------------------------------------------------------
     def update_values(self, values) -> "KLLSketch":
+        """Bulk insert. Feeding a large batch through level-0 (capacity as
+        small as 2) costs one Python-level compaction per ~2 items — the
+        measured hot spot. Instead the batch is pre-compacted vectorized:
+        sort once, then halve (alternating keep-offset, = the level
+        compaction op) until it fits in one compactor, and inject at the
+        weight level the halvings imply. Error accounting is identical to
+        running those compactions inside the sketch: each halving at
+        weight 2^i is one standard KLL compaction."""
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
         if v.size == 0:
             return self
         self.n += int(v.size)
-        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        arr = np.sort(v)
+        level = 0
+        while arr.size >= 2 * self.k:
+            while len(self.compactors) <= level:
+                self._grow()
+            off = self.offsets[level]
+            self.offsets[level] ^= 1
+            arr = arr[off::2]
+            level += 1
+        while len(self.compactors) <= level:
+            self._grow()
+        self.compactors[level] = np.concatenate([self.compactors[level], arr])
         self._compress()
         return self
 

@@ -37,37 +37,51 @@ class TDigestSketch(MergeableSketch):
         self.n = int(n)
         self.vmin = float(vmin)
         self.vmax = float(vmax)
+        # raw-value buffer: batches accumulate here and fold ONCE at the
+        # next read (a fold per Arrow batch re-sorts all centroids each
+        # time; deferring is ~#batches x cheaper and bound-identical)
+        self._pending: list[np.ndarray] = []
+        self._pending_n = 0
+        self._PENDING_FLUSH = 4_000_000
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        pending, self._pending, self._pending_n = self._pending, [], 0
+        v = np.concatenate(pending)
+        self._fold(
+            np.concatenate([self.means, v]),
+            np.concatenate([self.weights, np.ones(v.size)]),
+        )
 
     @classmethod
     def create(cls, delta: float = 200.0) -> "TDigestSketch":
         return cls(delta=delta)
 
     def _fold(self, means: np.ndarray, weights: np.ndarray) -> None:
-        """One deterministic merge pass over sorted (mean, weight) points."""
+        """One deterministic, fully-vectorized merge pass: sorted points are
+        bucketed by fixed k-space boundaries (the q's where k1 crosses each
+        integer), so every output centroid spans <= 1 unit of k — the
+        merging-digest size/error invariant — and per-bucket weighted means
+        come from two ``np.bincount`` calls. (The original greedy per-item
+        Python loop was the measured hot spot at ~5.5M items/partition.)"""
         if means.size == 0:
             return
         order = np.argsort(means, kind="stable")
-        means, weights = means[order], weights[order]
-        total = weights.sum()
-        out_m, out_w = [], []
-        cur_m, cur_w = means[0], weights[0]
-        w_so_far = 0.0
-        k_lo = _k1(0.0, self.delta)
-        for m, w in zip(means[1:], weights[1:]):
-            q_hi = (w_so_far + cur_w + w) / total
-            if _k1(q_hi, self.delta) - k_lo <= 1.0:
-                cur_m += (m - cur_m) * (w / (cur_w + w))
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                k_lo = _k1(w_so_far / total, self.delta)
-                cur_m, cur_w = m, w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+        m, w = means[order], weights[order]
+        total = w.sum()
+        cum = np.cumsum(w)
+        q_mid = (cum - w / 2.0) / total
+        k0 = _k1(0.0, self.delta)
+        nb = int(math.ceil(_k1(1.0, self.delta) - k0))  # = delta/2 buckets
+        j = np.arange(1, max(nb, 1))
+        qb = (np.sin((k0 + j) * (2.0 * math.pi / self.delta)) + 1.0) / 2.0
+        cluster = np.searchsorted(qb, q_mid, side="right")
+        wsum = np.bincount(cluster, weights=w)
+        msum = np.bincount(cluster, weights=w * m)
+        nz = wsum > 0
+        self.weights = wsum[nz]
+        self.means = msum[nz] / wsum[nz]
 
     def update_values(self, values) -> "TDigestSketch":
         v = np.asarray(values, dtype=np.float64)
@@ -77,16 +91,18 @@ class TDigestSketch(MergeableSketch):
         self.n += int(v.size)
         self.vmin = min(self.vmin, float(v.min()))
         self.vmax = max(self.vmax, float(v.max()))
-        self._fold(
-            np.concatenate([self.means, v]),
-            np.concatenate([self.weights, np.ones(v.size)]),
-        )
+        self._pending.append(v)
+        self._pending_n += int(v.size)
+        if self._pending_n >= self._PENDING_FLUSH:
+            self._flush()
         return self
 
     def merge(self, other: "TDigestSketch") -> "TDigestSketch":
         self._require_same_kind(other)
         if self.delta != other.delta:
             raise ValueError("tdigest delta mismatch")
+        self._flush()
+        other._flush()
         self.n += other.n
         self.vmin = min(self.vmin, other.vmin)
         self.vmax = max(self.vmax, other.vmax)
@@ -97,6 +113,7 @@ class TDigestSketch(MergeableSketch):
         return self
 
     def quantile(self, q: float) -> float:
+        self._flush()
         if self.means.size == 0:
             return float("nan")
         if self.means.size == 1:
@@ -116,6 +133,7 @@ class TDigestSketch(MergeableSketch):
         return np.array([self.quantile(q) for q in qs])
 
     def _payload_bytes(self) -> bytes:
+        self._flush()
         head = struct.pack("<dqdd", self.delta, self.n, self.vmin, self.vmax)
         return head + np_tobytes(self.means, self.weights)
 

@@ -1,0 +1,136 @@
+"""Operator-level tests for the dedup + similarity families (beyond the
+driver-contract oracle checks): LSH recall bounds, pigeonhole guarantees,
+and scale-path plan properties."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bloomfilter_multithread_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    md5_hash_col,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_near_dups,
+)
+from bloomfilter_multithread_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs_brute,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_equals_bruteforce(spark, docs):
+    """On the planted near-dups (s≈0.98) LSH recall is ~1, and the exact
+    confirm makes precision exact — pipeline output == brute force."""
+    got = sorted(map(tuple, minhash_dedup(docs, threshold=0.8).collect()))
+    want = sorted(map(tuple, exact_jaccard_pairs(docs, None, threshold=0.8).collect()))
+    assert got == want
+    assert len(got) > 0, "fixture should contain planted near-dup pairs"
+
+
+def test_minhash_signature_is_similarity_estimator(spark, docs):
+    """E[matching minhash coords] = Jaccard: for the planted pairs the
+    signature agreement must be high; for random pairs low."""
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, n_perm=64).collect()}
+    pairs = [tuple(r) for r in exact_jaccard_pairs(docs, None, threshold=0.8).collect()]
+    for id_a, id_b, jbp in pairs:
+        agree = sum(a == b for a, b in zip(sigs[id_a], sigs[id_b])) / 64
+        assert agree >= 0.7, (id_a, id_b, agree)
+    ids = sorted(sigs)[:20]
+    near = {(a, b) for a, b, _ in pairs}
+    rand_agrees = [
+        sum(x == y for x, y in zip(sigs[a], sigs[b])) / 64
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if (a, b) not in near
+    ]
+    assert max(rand_agrees) <= 0.3
+
+
+def test_simhash_pigeonhole_recall(spark, docs):
+    """bands=4 over 32 bits guarantees recall 1 for hamming<=3 (pigeonhole):
+    banded output == threshold filter over all-pairs signatures."""
+    banded = sorted(
+        map(tuple, simhash_near_dups(docs, max_hamming=3, bands=4, n_bits=32,
+                                     hasher=md5_hash_col).collect())
+    )
+    from bloomfilter_multithread_spark.operators.dedup import simhash_signatures
+
+    sigs = simhash_signatures(docs, n_bits=32, hasher=md5_hash_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = sorted(
+        map(
+            tuple,
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").cast("long").alias("id_a"),
+                F.col("b.doc_id").cast("long").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+                .alias("hamming"),
+            )
+            .where("hamming <= 3")
+            .collect(),
+        )
+    )
+    assert banded == brute
+
+
+def test_lsh_topk_recall(spark, emb):
+    """ANN recall@10 vs brute force must clear 0.5 with 8 tables x 4 bits
+    on 64-dim data: top-10 cosines here are ~0.3-0.5 (theta ~60-72 deg), so
+    per-table bucket-collision prob ~(1-theta/pi)^4 ~ 0.16 and
+    1-(1-0.16)^8 ~ 0.75 expected recall."""
+    q = emb.where("vec_id % 50 = 0")
+    brute = brute_force_topk(emb, q, k=10, qid_col="vec_id").collect()
+    ann = lsh_topk(emb, q, k=10, dim=64, n_bits=4, tables=8, qid_col="vec_id").collect()
+    want = {(r["query_id"], r["vec_id"]) for r in brute}
+    got = {(r["query_id"], r["vec_id"]) for r in ann}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, recall
+    # the self-match (cosine 1.0) must always be found — its bucket matches
+    for r in brute:
+        if r["query_id"] == r["vec_id"]:
+            assert (r["query_id"], r["vec_id"]) in got
+
+
+def test_embedding_near_dups_confirm_is_exact(spark, emb):
+    """Every pair the LSH near-dup path emits must also be in the exact
+    brute-force pair set with identical cosine_bp (no false positives)."""
+    got = set(map(tuple, embedding_near_dups(emb, threshold_bp=3000, dim=64,
+                                             n_bits=6, tables=8).collect()))
+    brute = set(map(tuple, cosine_pairs_brute(emb, threshold_bp=3000).collect()))
+    assert got <= brute
+    if brute:
+        assert len(got) / len(brute) >= 0.3  # recall floor at these params
+
+
+def test_lsh_candidate_join_is_equijoin(spark, emb):
+    """Scale-path property: the ANN candidate join must be an equi-join on
+    (table_idx, bucket) — no cartesian product in the physical plan."""
+    q = emb.where("vec_id % 50 = 0")
+    plan = lsh_topk(emb, q, k=5, dim=64, n_bits=8, tables=2,
+                    qid_col="vec_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    brute_plan = brute_force_topk(emb, q, k=5, qid_col="vec_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in brute_plan  # brute is the broadcast path

@@ -99,14 +99,14 @@ class TestBloom:
 
         whole = build(parts)
         merged = merge_all([BloomSketch.from_bytes(s.to_bytes()) for s in sk])
-        assert np.array_equal(whole.words, merged.words)
+        assert np.array_equal(whole.bits, merged.bits)
         # commutativity
         ab = BloomSketch.from_bytes(sk[0].to_bytes()).merge(sk[1])
         ba = BloomSketch.from_bytes(sk[1].to_bytes()).merge(sk[0])
-        assert np.array_equal(ab.words, ba.words)
+        assert np.array_equal(ab.bits, ba.bits)
         # identity
         ident = BloomSketch(1 << 16, 4).merge(sk[0])
-        assert np.array_equal(ident.words, sk[0].words)
+        assert np.array_equal(ident.bits, sk[0].bits)
 
     def test_partition_count_invariance(self):
         h = _hashes(30_000, seed=7)
@@ -114,15 +114,15 @@ class TestBloom:
             chunks = np.array_split(h, nparts)
             merged = merge_all([BloomSketch(1 << 18, 5).update_hashes(c) for c in chunks])
             if nparts == 2:
-                first = merged.words.copy()
+                first = merged.bits.copy()
             else:
-                assert np.array_equal(first, merged.words)
+                assert np.array_equal(first, merged.bits)
 
     def test_serde_roundtrip(self):
         b = BloomSketch(1 << 12, 3).update_hashes(_hashes(100))
         b2 = MergeableSketch.from_bytes(b.to_bytes())
         assert isinstance(b2, BloomSketch)
-        assert np.array_equal(b.words, b2.words)
+        assert np.array_equal(b.bits, b2.bits)
         assert (b2.m_bits, b2.k) == (b.m_bits, b.k)
 
     def test_cardinality_estimate(self):
@@ -247,3 +247,33 @@ class TestQuantileSketches:
             for q in (0.1, 0.5, 0.9):
                 assert s2.quantile(q) == pytest.approx(s.quantile(q))
             assert s2.n == s.n
+
+
+class TestBlockedBloom:
+    def test_zero_fn_and_fpr(self):
+        rng = np.random.default_rng(7)
+        h = rng.integers(-2**63, 2**63, size=50_000, dtype=np.int64)
+        absent = rng.integers(-2**63, 2**63, size=50_000, dtype=np.int64)
+        sk = BloomSketch.create(m_bits=1 << 22, k=7, block_bits=1 << 16)
+        sk.update_hashes(h)
+        assert sk.probe_hashes(h).all()  # zero FN
+        fpr = sk.probe_hashes(absent).mean()
+        # blocked bound: analytic fpr + Poisson block-imbalance slack
+        assert fpr <= 3 * sk.fpr_bound(50_000) + 1e-3, fpr
+
+    def test_blocked_indices_land_in_one_block(self):
+        rng = np.random.default_rng(8)
+        h = rng.integers(-2**63, 2**63, size=1000, dtype=np.int64)
+        sk = BloomSketch.create(m_bits=1 << 22, k=7, block_bits=1 << 16)
+        from bloomfilter_multithread_spark.sketches.hashing import to_u64
+        idx = sk._indices(to_u64(h))
+        blocks = idx // (1 << 16)
+        assert (blocks == blocks[0]).all(axis=0).all()  # same block per key
+
+    def test_serialization_roundtrip_keeps_block_bits(self):
+        sk = BloomSketch.create(m_bits=1 << 20, k=5, block_bits=1 << 16)
+        sk.update_hashes(np.arange(1000, dtype=np.int64))
+        sk2 = BloomSketch.from_bytes(sk.to_bytes())
+        assert sk2.block_bits == 1 << 16
+        assert np.array_equal(sk.bits, sk2.bits)
+        assert sk2.probe_hashes(np.arange(1000, dtype=np.int64)).all()

@@ -70,7 +70,7 @@ class TestBuildMergeProbe:
         ]
         s2 = build_sketches(corpus.repartition(2), specs)
         s32 = build_sketches(corpus.repartition(32), specs)
-        assert np.array_equal(s2["b"].words, s32["b"].words)
+        assert np.array_equal(s2["b"].bits, s32["b"].bits)
         assert np.array_equal(s2["h"].registers, s32["h"].registers)
         assert np.array_equal(s2["c"].table, s32["c"].table)
 
@@ -78,7 +78,7 @@ class TestBuildMergeProbe:
         specs = [SketchSpec("b", "bloom", "conv_id", {"m_bits": 1 << 18, "k": 4})]
         plain = build_sketches(corpus, specs)
         salted = build_sketches(corpus, specs, salt_partitions=16)
-        assert np.array_equal(plain["b"].words, salted["b"].words)
+        assert np.array_equal(plain["b"].bits, salted["b"].bits)
 
     def test_hll_vs_exact_distinct(self, spark, corpus, built):
         exact = corpus.select("conv_id").distinct().count()
@@ -147,3 +147,15 @@ class TestShingleSQLParity:
         assert [(r["doc_id"], r["n_shingles"], r["n_distinct"]) for r in got] == [
             (a, b, c) for a, b, c in want
         ]
+
+
+def test_routed_blocked_build_equals_unrouted(spark, corpus):
+    """Routing by hash-block must not change the merged sketch (merge is
+    associative+commutative) — the reference-routing re-expression."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    spec = [SketchSpec("b", "bloom", "text",
+                       {"m_bits": 1 << 20, "k": 5, "block_bits": 1 << 16})]
+    plain = build_sketches(corpus, spec)
+    routed = build_sketches(corpus, spec, route_for="b")
+    assert plain["b"].to_bytes() == routed["b"].to_bytes()
