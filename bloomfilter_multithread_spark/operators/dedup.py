@@ -32,14 +32,17 @@ from pyspark.sql import functions as F
 
 from ..functions.shingles import explode_shingles
 
-# Mersenne prime 2^61-1: universal hashing (a*h+b) mod p stays in uint64
-_P61 = (1 << 61) - 1
+# Mersenne prime 2^31-1: universal hashing (a*(h mod p)+b) mod p where
+# a,b < p and h folded to [0,p) keeps every product < 2^62 — pure BIGINT
+# arithmetic in whole-stage codegen (a 2^61-1 modulus would need
+# decimal(38,0), measured ~5x slower)
+_P31 = (1 << 31) - 1
 
 
 def _perm_coeffs(n_perm: int, seed: int) -> tuple[list[int], list[int]]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _P61, size=n_perm, dtype=np.int64).tolist()
-    b = rng.integers(0, _P61, size=n_perm, dtype=np.int64).tolist()
+    a = rng.integers(1, _P31, size=n_perm, dtype=np.int64).tolist()
+    b = rng.integers(0, _P31, size=n_perm, dtype=np.int64).tolist()
     return a, b
 
 
@@ -60,22 +63,19 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        k: int = 5, n_perm: int = 64, seed: int = 42) -> DataFrame:
     """(id, sig: array<long>[n_perm]) — min over distinct shingles of
-    (a_i * h + b_i) mod 2^61-1, h = xxhash64(shingle) & MAXLONG.
+    (a_i * (h mod p) + b_i) mod p, p = 2^31-1, h = xxhash64(shingle).
 
-    Everything is JVM codegen: explode -> distinct -> n_perm min()
-    aggregates. One shuffle (the groupBy)."""
+    Everything is JVM codegen (pure BIGINT arithmetic): explode ->
+    distinct -> n_perm min() aggregates. One shuffle (the groupBy)."""
     a, b = _perm_coeffs(n_perm, seed)
     sh = (
         explode_shingles(df.select(id_col, text_col), text_col, k)
         .select(id_col, F.xxhash64("shingle").alias("h64"))
         .distinct()
     )
-    # 2^61-1 modulus keeps a*h+b inside signed-128? Spark has no u128;
-    # use (a * (h mod p) + b) mod p with h folded to [0, p) first and the
-    # product computed in decimal(38,0) to avoid overflow.
-    hp = F.pmod(F.col("h64"), F.lit(_P61)).cast("decimal(38,0)")
+    hp = F.pmod(F.col("h64"), F.lit(_P31))
     mins = [
-        F.min(F.pmod(hp * F.lit(a[i]) + F.lit(b[i]), F.lit(_P61)).cast("long")).alias(f"m{i}")
+        F.min(F.pmod(hp * F.lit(a[i]) + F.lit(b[i]), F.lit(_P31))).alias(f"m{i}")
         for i in range(n_perm)
     ]
     agg = sh.groupBy(id_col).agg(*mins)

@@ -50,12 +50,16 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     side is broadcast; scoring is JVM codegen; one window per query for
     ranking. Deterministic tie-break by (cosine desc, vec_id asc)."""
     q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
-                                   F.col(qvec_col).alias("qvec")))
+                                   F.col(qvec_col).alias("qvec"),
+                                   _norm(F.col(qvec_col)).alias("qn")))
     scored = (
-        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+                       _norm(F.col(vec_col)).alias("vn"))
         .crossJoin(q)
-        .withColumn("cosine_bp",
-                    F.floor(cosine(F.col("qvec"), F.col("vec")) * 10000 + F.lit(0.5)).cast("long"))
+        .withColumn(
+            "cosine_bp",
+            F.floor(_dot(F.col("qvec"), F.col("vec")) / (F.col("qn") * F.col("vn")) * 10000
+                    + F.lit(0.5)).cast("long"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
     return (
@@ -196,13 +200,22 @@ def duckdb_cosine_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
 def cosine_pairs_brute(vectors: DataFrame, threshold_bp: int = 4000,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine pairs (the dense-side baseline of
-    ``embedding_near_dups``; O(N^2) — bounded inputs / oracle use only)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ``embedding_near_dups``; O(N^2) — bounded inputs / oracle use only).
+
+    Norms are computed ONCE per vector in the pre-join projection, not
+    per pair — bit-identical result (same per-vector op sequence; the
+    oracle's inline ``sqrt(dot(a,a))`` evaluates to the same double) at
+    1/3 of the higher-order-function work."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                       _norm(F.col(vec_col)).alias("na"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                       _norm(F.col(vec_col)).alias("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_bp",
-                    F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)).cast("long"))
+        .withColumn(
+            "cosine_bp",
+            F.floor(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000
+                    + F.lit(0.5)).cast("long"))
         .where(F.col("cosine_bp") >= threshold_bp)
         .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine_bp")
     )
