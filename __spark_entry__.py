@@ -470,6 +470,42 @@ def _q_transcript_hll_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transcript_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star signature query: turn-latency (per-conversation ts
+    delta) quantiles via t-digest, bound-checked against exact
+    percentiles (emitted in integer millis)."""
+    from pyspark.sql import Window
+
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    deltas = (
+        tr.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts").isNotNull())
+        .withColumn("delta_s",
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") / F.lit(1000000.0))
+    )
+    td = build_sketches(deltas, [SketchSpec("t", "tdigest", "delta_s", {"delta": 200.0})])["t"]
+    n = deltas.count()
+    checks = []
+    for q in (0.1, 0.5, 0.9):
+        est = td.quantile(q)
+        rank = deltas.where(F.col("delta_s") <= est).count() / n
+        checks.append(abs(rank - q) <= 0.02)
+    exact = deltas.selectExpr(
+        "percentile(delta_s, 0.1) as q10",
+        "percentile(delta_s, 0.5) as q50",
+        "percentile(delta_s, 0.9) as q90",
+    )
+    return exact.select(
+        F.floor(F.col("q10") * 1000 + F.lit(0.5)).cast("long").alias("p10_milli"),
+        F.floor(F.col("q50") * 1000 + F.lit(0.5)).cast("long").alias("p50_milli"),
+        F.floor(F.col("q90") * 1000 + F.lit(0.5)).cast("long").alias("p90_milli"),
+        F.lit(all(checks)).alias("tdigest_within_bound"),
+    )
+
+
 def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPR witness: build over customer keys, probe a disjoint key range
     (custkey + 10^9); observed FPR must be within 3x the analytic
@@ -521,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "transcript_seen_text": _q_transcript_seen_text,
         "transcript_hll_convs": _q_transcript_hll_convs,
+        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "bloom_fpr": _q_bloom_fpr,
     }
 
@@ -580,6 +617,20 @@ def oracle_sql() -> dict[str, str]:
             WITH transcripts AS ({_TRANSCRIPTS_SQL})
             SELECT COUNT(DISTINCT conv_id) AS exact_convs, TRUE AS within_bound
             FROM transcripts
+        """,
+        "transcript_latency_quantiles": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            d AS (
+                SELECT date_diff('microsecond',
+                                 LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                                 ts) / 1000000.0 AS delta_s
+                FROM transcripts
+            )
+            SELECT CAST(FLOOR(quantile_cont(delta_s, 0.1) * 1000 + 0.5) AS BIGINT) AS p10_milli,
+                   CAST(FLOOR(quantile_cont(delta_s, 0.5) * 1000 + 0.5) AS BIGINT) AS p50_milli,
+                   CAST(FLOOR(quantile_cont(delta_s, 0.9) * 1000 + 0.5) AS BIGINT) AS p90_milli,
+                   TRUE AS tdigest_within_bound
+            FROM d WHERE delta_s IS NOT NULL
         """,
         "bloom_fpr": """
             SELECT COUNT(*) AS n_probed, TRUE AS fpr_within_bound FROM customer
