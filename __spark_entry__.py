@@ -155,54 +155,70 @@ def _q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("user_id", "n_events")
 
 
+def _rank_check_quantiles(df: DataFrame, col: str, quantiles: list[float],
+                          estimates: list[float], eps: float,
+                          out_names: list[str], out_scale: int,
+                          check_name: str) -> DataFrame:
+    """ONE aggregate pass computing, together: n, the exact rank of every
+    sketch estimate (sum of `col <= est` indicators), and the exact
+    percentiles — then emits scaled-integer percentiles plus a boolean
+    column asserting every estimate's rank is within ``eps`` of its
+    target. Replaces the round-1 per-quantile ``count()`` driver loop
+    (4-5 full scans -> 1; VERDICT.md 'What's wrong' #2)."""
+    c = F.col(col)
+    aggs = [F.count(c).alias("_n")]
+    aggs += [
+        F.sum((c <= F.lit(float(e))).cast("long")).alias(f"_r{i}")
+        for i, e in enumerate(estimates)
+    ]
+    aggs += [
+        F.expr(f"percentile({col}, {q})").alias(f"_q{i}")
+        for i, q in enumerate(quantiles)
+    ]
+    a = df.agg(*aggs)
+    within = F.lit(True)
+    for i, q in enumerate(quantiles):
+        within = within & (
+            F.abs(F.col(f"_r{i}") / F.col("_n") - F.lit(q)) <= F.lit(eps)
+        )
+    return a.select(
+        *[
+            F.floor(F.col(f"_q{i}") * out_scale + F.lit(0.5)).cast("long").alias(nm)
+            for i, nm in enumerate(out_names)
+        ],
+        within.alias(check_name),
+    )
+
+
 def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles (integer cents — float-rounding-proof) + KLL
-    rank-bound boolean verified against the exact values."""
+    rank-bound boolean. Two Spark jobs total: the sketch build pass and
+    one combined rank+percentile aggregate."""
     from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
 
     li = _read(spark, sf_dir, "lineitem")
     kll = build_sketches(li, [SketchSpec("k", "kll", "l_extendedprice", {"k": 200})])["k"]
-    n = li.count()
-    checks = []
-    for q in (0.25, 0.5, 0.75):
-        est = kll.quantile(q)
-        # exact rank of the estimate must be within eps of q
-        rank = li.where(F.col("l_extendedprice") <= est).count() / n
-        checks.append(abs(rank - q) <= 2 * kll.rank_error_bound())
-    exact = li.selectExpr(
-        "percentile(l_extendedprice, 0.25) as q25",
-        "percentile(l_extendedprice, 0.50) as q50",
-        "percentile(l_extendedprice, 0.75) as q75",
-    )
-    return exact.select(
-        F.floor(F.col("q25") * 100 + F.lit(0.5)).cast("long").alias("p25_cents"),
-        F.floor(F.col("q50") * 100 + F.lit(0.5)).cast("long").alias("p50_cents"),
-        F.floor(F.col("q75") * 100 + F.lit(0.5)).cast("long").alias("p75_cents"),
-        F.lit(all(checks)).alias("kll_within_bound"),
+    qs = [0.25, 0.5, 0.75]
+    return _rank_check_quantiles(
+        li, "l_extendedprice", qs, [kll.quantile(q) for q in qs],
+        eps=2 * kll.rank_error_bound(),
+        out_names=["p25_cents", "p50_cents", "p75_cents"], out_scale=100,
+        check_name="kll_within_bound",
     )
 
 
 def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantile estimates rank-checked against exact percentiles
+    in one combined aggregate (2 jobs: build + agg)."""
     from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
 
     ev = _read(spark, sf_dir, "events")
     td = build_sketches(ev, [SketchSpec("t", "tdigest", "value", {"delta": 200.0})])["t"]
-    n = ev.where("value is not null").count()
-    checks = []
-    for q in (0.1, 0.5, 0.9):
-        est = td.quantile(q)
-        rank = ev.where(F.col("value") <= est).count() / n
-        checks.append(abs(rank - q) <= 0.02)
-    exact = ev.selectExpr(
-        "percentile(value, 0.1) as q10",
-        "percentile(value, 0.5) as q50",
-        "percentile(value, 0.9) as q90",
-    )
-    return exact.select(
-        F.floor(F.col("q10") * 1000 + F.lit(0.5)).cast("long").alias("p10_milli"),
-        F.floor(F.col("q50") * 1000 + F.lit(0.5)).cast("long").alias("p50_milli"),
-        F.floor(F.col("q90") * 1000 + F.lit(0.5)).cast("long").alias("p90_milli"),
-        F.lit(all(checks)).alias("tdigest_within_bound"),
+    qs = [0.1, 0.5, 0.9]
+    return _rank_check_quantiles(
+        ev, "value", qs, [td.quantile(q) for q in qs], eps=0.02,
+        out_names=["p10_milli", "p50_milli", "p90_milli"], out_scale=1000,
+        check_name="tdigest_within_bound",
     )
 
 
@@ -486,24 +502,25 @@ def _q_transcript_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("delta_s",
                     F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") / F.lit(1000000.0))
     )
-    td = build_sketches(deltas, [SketchSpec("t", "tdigest", "delta_s", {"delta": 200.0})])["t"]
-    n = deltas.count()
-    checks = []
-    for q in (0.1, 0.5, 0.9):
-        est = td.quantile(q)
-        rank = deltas.where(F.col("delta_s") <= est).count() / n
-        checks.append(abs(rank - q) <= 0.02)
-    exact = deltas.selectExpr(
-        "percentile(delta_s, 0.1) as q10",
-        "percentile(delta_s, 0.5) as q50",
-        "percentile(delta_s, 0.9) as q90",
-    )
-    return exact.select(
-        F.floor(F.col("q10") * 1000 + F.lit(0.5)).cast("long").alias("p10_milli"),
-        F.floor(F.col("q50") * 1000 + F.lit(0.5)).cast("long").alias("p50_milli"),
-        F.floor(F.col("q90") * 1000 + F.lit(0.5)).cast("long").alias("p90_milli"),
-        F.lit(all(checks)).alias("tdigest_within_bound"),
-    )
+    # materialize the windowed deltas ONCE: both the sketch build and the
+    # rank-check aggregate read the cached projection instead of
+    # re-executing the per-conversation window shuffle (round-1 plan paid
+    # it 5x; VERDICT.md 'What's wrong' #2)
+    deltas = deltas.select("delta_s").persist()
+    try:
+        td = build_sketches(deltas, [SketchSpec("t", "tdigest", "delta_s", {"delta": 200.0})])["t"]
+        qs = [0.1, 0.5, 0.9]
+        result = _rank_check_quantiles(
+            deltas, "delta_s", qs, [td.quantile(q) for q in qs], eps=0.02,
+            out_names=["p10_milli", "p50_milli", "p90_milli"], out_scale=1000,
+            check_name="tdigest_within_bound",
+        )
+        # collect the single result row while the cache is alive, then
+        # return it as a literal 1-row frame (schema preserved)
+        row = result.first()
+        return spark.createDataFrame([row], schema=result.schema)
+    finally:
+        deltas.unpersist()
 
 
 def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,7 +8,8 @@ Bloom-filter pipeline over DNA k-mers) as an idiomatic Spark library:
   KLL, t-digest) sharing one ``MergeableSketch`` interface
   (create / update_hashes / merge / estimate / to_bytes / from_bytes).
 - ``operators`` — Spark-side build (per-partition partials via
-  ``mapInArrow``, bitwise-OR ``treeReduce`` merge), broadcast probe,
+  ``mapInArrow``, two-level executor-side ``mapInArrow`` tree merge
+  with a packed-OR fast path), broadcast probe,
   dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
   cosine), similarity search, and text analysis.
 - ``sources``   — IO (Iceberg with parquet fallback) and the

@@ -261,17 +261,39 @@ def merge_partials_local(partial_rows) -> dict[str, MergeableSketch]:
 # Worker-process-level cache of deserialized broadcast sketches: python
 # workers are reused across tasks, and deserializing (and for Bloom,
 # unpacking) a large sketch once per Arrow BATCH would dominate probe
-# cost. Keyed by a driver-generated token; bounded FIFO.
-_PROBE_CACHE: dict[str, MergeableSketch] = {}
+# cost. Keyed by a driver-generated token; FIFO bounded by entry count
+# AND resident bytes — a probed Bloom is held unpacked at byte-per-bit
+# (m_bits bytes, 8x its packed blob), so four m=2^29 filters would pin
+# 2 GB per worker if only the entry count were capped.
+_PROBE_CACHE: dict[str, tuple[MergeableSketch, int]] = {}
 _PROBE_CACHE_MAX = 4
+_PROBE_CACHE_MAX_BYTES = 1 << 30
+
+
+def _resident_bytes(sk: MergeableSketch, blob_len: int) -> int:
+    """Worst-case in-memory footprint of a cached sketch."""
+    m = getattr(sk, "m_bits", 0)
+    if m:  # bloom: byte-per-bit unpacked working form
+        return int(m)
+    return max(blob_len, 1)
 
 
 def _cached_from_bytes(token: str, blob: bytes) -> MergeableSketch:
-    sk = _PROBE_CACHE.get(token)
-    if sk is None:
-        while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
-            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
-        sk = _PROBE_CACHE.setdefault(token, MergeableSketch.from_bytes(blob))
+    hit = _PROBE_CACHE.get(token)
+    if hit is not None:
+        return hit[0]
+    sk = MergeableSketch.from_bytes(blob)
+    nbytes = _resident_bytes(sk, len(blob))
+    total = sum(b for _, b in _PROBE_CACHE.values())
+    while _PROBE_CACHE and (
+        len(_PROBE_CACHE) >= _PROBE_CACHE_MAX
+        or total + nbytes > _PROBE_CACHE_MAX_BYTES
+    ):
+        _, evicted = _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        total -= evicted
+    # an oversized sketch is still cached (alone): the worker needs it
+    # resident for the current task stream regardless
+    _PROBE_CACHE[token] = (sk, nbytes)
     return sk
 
 

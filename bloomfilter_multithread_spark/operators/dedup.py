@@ -189,8 +189,11 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """n_bits-bit SimHash over token hashes: bit b of the signature is the
     sign of sum over tokens (with multiplicity) of (2*bit_b(h)-1).
     ``n_bits`` codegen'd conditional sums, one shuffle. Default hasher is
-    JVM xxhash64 (63 usable bits); pass ``md5_hash_col`` for an
-    oracle-mirrorable 32-bit variant."""
+    JVM xxhash64; pass ``md5_hash_col`` for an oracle-mirrorable 32-bit
+    variant. Signatures are capped at 63 bits (the BIGINT sign bit is
+    unusable for ``1 << b`` arithmetic), so callers asking for 64 get 63
+    effective bits — ``simhash_near_dups`` documents how its banding
+    absorbs this."""
     hasher = hasher or F.xxhash64
     tok = (
         df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"))
@@ -216,7 +219,15 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                       hasher=None) -> DataFrame:
     """Near-dups by SimHash: band the n_bits-bit signature into ``bands``
     chunks (pigeonhole: hamming<=bands-1 guarantees a shared band),
-    bucket-join, then exact popcount confirm. Returns (id_a, id_b, hamming)."""
+    bucket-join, then exact popcount confirm. Returns (id_a, id_b, hamming).
+
+    63-bit clamp: with the default n_bits=64 the signature actually holds
+    63 bits (see ``simhash_signatures``), so the last band covers
+    width-1 effective bits. The pigeonhole recall guarantee is unaffected
+    — the bands still cover every bit the signatures can differ in — and
+    the popcount confirm is computed on the full clamped signature on
+    both sides, so results are consistent; only the advertised band
+    entropy of the last band is one bit lower."""
     sigs = simhash_signatures(df, id_col, text_col,
                               n_bits=min(n_bits, 63), hasher=hasher)
     width = n_bits // bands

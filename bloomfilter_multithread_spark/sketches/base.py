@@ -81,6 +81,13 @@ class MergeableSketch(ABC):
         target = _REGISTRY[kind]
         if cls is not MergeableSketch and cls is not target:
             raise TypeError(f"sketch kind mismatch: bytes are {target.NAME}, asked {cls.NAME}")
+        if version != target.VERSION:
+            # explicit rejection beats deserializing a changed payload
+            # layout into garbage (e.g. Bloom header <QI> -> <QIQ>)
+            raise ValueError(
+                f"{target.NAME} sketch format v{version} is not readable by this build "
+                f"(expects v{target.VERSION}); rebuild the persisted state"
+            )
         return target._from_payload(payload)
 
     # -- convenience ---------------------------------------------------

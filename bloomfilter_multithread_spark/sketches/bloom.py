@@ -68,6 +68,9 @@ class BloomSketch(MergeableSketch):
     insert/probe."""
 
     NAME = "bloom"
+    # v2 = <QIQ> header (m_bits, k, block_bits) + fmt byte; v1 (<QI>, no
+    # block_bits) is rejected with a clear error by the envelope check
+    VERSION = 2
 
     # flush pending indices once they would exceed ~256 MB
     _PENDING_FLUSH = 32_000_000

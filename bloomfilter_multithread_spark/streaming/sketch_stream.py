@@ -58,6 +58,7 @@ class StreamingSketchBuilder:
     def __init__(self, specs: list[SketchSpec], state_dir: str):
         self.specs = specs
         self.state_dir = state_dir
+        self._checkpoint: str | None = None  # identity guard, set by start()
         os.makedirs(state_dir, exist_ok=True)
 
     @property
@@ -65,20 +66,25 @@ class StreamingSketchBuilder:
         return os.path.join(self.state_dir, "state.json")
 
     def load_state(self) -> tuple[int, dict[str, MergeableSketch]]:
+        epoch, sketches, _ = self._load_raw()
+        return epoch, sketches
+
+    def _load_raw(self) -> tuple[int, dict[str, MergeableSketch], str | None]:
         try:
             with open(self._state_path) as f:
                 raw = json.load(f)
         except FileNotFoundError:
-            return -1, {}
+            return -1, {}, None
         sketches = {
             k: MergeableSketch.from_bytes(bytes.fromhex(v))
             for k, v in raw["sketches"].items()
         }
-        return raw["epoch"], sketches
+        return raw["epoch"], sketches, raw.get("checkpoint")
 
     def _write_state(self, epoch: int, sketches: dict[str, MergeableSketch]) -> None:
         payload = {
             "epoch": epoch,
+            "checkpoint": self._checkpoint,
             "sketches": {k: v.to_bytes().hex() for k, v in sketches.items()},
         }
         fd, tmp = tempfile.mkstemp(dir=self.state_dir, suffix=".tmp")
@@ -87,7 +93,17 @@ class StreamingSketchBuilder:
         os.replace(tmp, self._state_path)
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        last_epoch, state = self.load_state()
+        last_epoch, state, owner = self._load_raw()
+        # The epoch-replay guard assumes epoch ids grow within ONE
+        # checkpointed query. Reusing a state_dir with a NEW checkpoint
+        # restarts epoch ids at 0, which the guard would silently treat
+        # as replays and skip every batch — fail loudly instead.
+        if owner is not None and self._checkpoint is not None and owner != self._checkpoint:
+            raise ValueError(
+                f"sketch state at {self.state_dir} belongs to checkpoint {owner!r}; "
+                f"this query uses {self._checkpoint!r} — resuming would silently "
+                "skip batches. Use a fresh state_dir (or the original checkpoint)."
+            )
         if epoch_id <= last_epoch:
             return  # replayed epoch after restart — already merged
         rows = build_partials(batch_df, self.specs).collect()
@@ -97,6 +113,7 @@ class StreamingSketchBuilder:
         self._write_state(epoch_id, state)
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, available_now: bool = True):
+        self._checkpoint = checkpoint_dir
         writer = (
             stream_df.writeStream.foreachBatch(self.foreach_batch)
             .option("checkpointLocation", checkpoint_dir)
