@@ -270,15 +270,6 @@ def _q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, k=5, n_perm=64, bands=16, threshold=0.8)
 
 
-def _q_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force n-gram Jaccard (the exact baseline the LSH path must
-    reproduce). Quadratic — oracle/baseline use only."""
-    from bloomfilter_multithread_spark.operators.dedup import exact_jaccard_pairs
-
-    docs = _read(spark, sf_dir, "documents")
-    return exact_jaccard_pairs(docs, None, k=5, threshold=0.8)
-
-
 def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit md5-based SimHash, banded 4x8 bits (pigeonhole: recall = 1
     for hamming<=3), exact popcount confirm — fully SQL-mirrorable."""
@@ -302,19 +293,45 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, q, k=10, qid_col="vec_id")
 
 
-def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= 0.40 (embedding near-dup baseline)."""
-    from bloomfilter_multithread_spark.operators.similarity import cosine_pairs_brute
+def _planted_neardup_embeddings(emb: DataFrame) -> DataFrame:
+    """Deterministic near-dup fixture: every 20th vector gains a copy at
+    id+10^6 with +0.1 on its first coordinate (unit vectors -> planted
+    cosine ~0.995; the fixture's random pairs top out at 0.51). Exact
+    double arithmetic on both engines, mirroring how the documents table
+    plants jaccard~0.98 pairs for minhash_neardup."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert = emb.where("vec_id % 20 = 0").select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + F.lit(0.1)),
+            F.slice(F.col("embedding").cast("array<double>"), 2, 63),
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed + exact confirm —
+    the 100 TB path for pair-finding (equi-join on hyperplane buckets,
+    no O(N^2) join; replaces round 1's brute-force cosine_pairs contract
+    query, VERDICT.md next-round #3). Confirm keeps precision exact;
+    recall at the planted cosine (~0.995, miss prob ~4e-4/pair with 6
+    tables x 10 bits) is empirically 1 on this fixture, so output ==
+    brute-force SQL oracle."""
+    from bloomfilter_multithread_spark.operators.similarity import embedding_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    return cosine_pairs_brute(emb, threshold_bp=4000)
+    allv = _planted_neardup_embeddings(emb)
+    return embedding_near_dups(allv, threshold_bp=9900, dim=64, n_bits=10, tables=6)
 
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact rerank —
     the 100 TB scale path (equi-join on buckets instead of cross join).
-    Recall < 1 by design ⇒ no SQL oracle (driver rows-only check); the
-    recall-vs-brute-force bound is asserted in tests/test_similarity_dedup.py."""
+    Recall < 1 by design; the oracle mirrors the SAME approximate
+    pipeline in SQL (seeded hyperplanes inlined as literals), so the
+    check is exact; the recall-vs-brute-force bound is additionally
+    asserted in tests/test_similarity_dedup.py."""
     from bloomfilter_multithread_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -386,8 +403,11 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode + feature extraction over binary payloads via
-    mapInPandas (deterministic sha256 fake; the real codec seam raises
-    NotImplementedError). Not SQL-expressible -> driver rows-only check."""
+    mapInPandas. The stub derives feature[0] from a single
+    sha256(payload) digest in exact float64 steps, so the DuckDB oracle
+    reproduces f0_milli bit-for-bit — the mapInPandas path itself (Arrow
+    batches, binary columns, fixed-width array out) is what's under
+    test."""
     from bloomfilter_multithread_spark.operators.multimodal import extract_features
 
     docs = _read(spark, sf_dir, "documents")
@@ -563,10 +583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
         "minhash_neardup": _q_minhash_neardup,
-        "jaccard_allpairs": _q_jaccard_allpairs,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
-        "cosine_pairs": _q_cosine_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "lang_quality": _q_lang_quality,
         "fingerprint": _q_fingerprint,
@@ -587,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from bloomfilter_multithread_spark.operators.similarity import (
         duckdb_cosine_pairs_sql,
+        duckdb_lsh_topk_sql,
         duckdb_topk_sql,
     )
     from bloomfilter_multithread_spark.operators.textstats import (
@@ -596,15 +616,27 @@ def oracle_sql() -> dict[str, str]:
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
     jacc = duckdb_jaccard_pairs_sql("documents", "doc_id", "text", 5, 0.8)
+    # the planted near-dup fixture (mirror of _planted_neardup_embeddings)
+    planted_cte = """
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_concat([embedding[1]::DOUBLE + 0.1], (embedding::DOUBLE[])[2:])
+        FROM embeddings WHERE vec_id % 20 = 0
+    """
     return {
         "minhash_neardup": jacc,
-        "jaccard_allpairs": jacc,
+        "embedding_near_dups": (
+            f"WITH allv AS ({planted_cte})\n"
+            + duckdb_cosine_pairs_sql("allv", "vec_id", "embedding", 9900)
+        ),
         "simhash_neardup": duckdb_simhash_pairs_sql(
             "documents", "doc_id", "text", n_bits=32, hex_digits=8, max_hamming=3
         ),
         "cosine_topk": duckdb_topk_sql("embeddings", "vec_id", "embedding",
                                        "vec_id % 50 = 0", 10),
-        "cosine_pairs": duckdb_cosine_pairs_sql("embeddings", "vec_id", "embedding", 4000),
+        "ann_topk_lsh": duckdb_lsh_topk_sql(dim=64, n_bits=4, tables=8, seed=42,
+                                            k=10, query_pred="vec_id % 50 = 0"),
         "lang_quality": f"""
             SELECT l.doc_id, l.lang_pred, q.quality_bp
             FROM ({duckdb_lang_id('documents')}) l
@@ -620,6 +652,17 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(generate_series(0, greatest(n_chars * 20 - 1, 0),
                                                         1000)) AS frame_ts_ms) g
             WHERE doc_id % 3 = 2
+        """,
+        # feature[0] = first little-endian uint32 of sha256(payload) over
+        # 2^31, minus 1 — exact in float64 on both engines (payload is
+        # the utf-8 text bytes)
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(32 AS INTEGER) AS feature_dim,
+                   CAST(FLOOR(((('0x' || substr(h, 7, 2) || substr(h, 5, 2)
+                                      || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT)
+                               / 2147483648.0 - 1.0) * 1000 + 0.5) AS BIGINT) AS f0_milli
+            FROM (SELECT doc_id, sha256(text) AS h FROM documents) x
         """,
         "transcript_seen_text": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),

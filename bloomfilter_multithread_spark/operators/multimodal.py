@@ -52,13 +52,21 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in for decode+feature-extract: expand the
-    payload digest into ``dim`` floats in [-1, 1)."""
-    out = np.empty(dim, dtype=np.float32)
+    payload digest into ``dim`` doubles in [-1, 1).
+
+    Oracle-mirrorable by construction: feature[0] is derived from a
+    SINGLE sha256(payload) digest — its first little-endian uint32 over
+    2^31, minus 1 — every step exact in float64, so DuckDB's
+    ``sha256()`` + hex arithmetic reproduces it bit-for-bit (the
+    contract query's ``f0_milli`` check). Later elements iterate the
+    digest chain."""
+    out = np.empty(dim, dtype=np.float64)
     h = payload or b""
     i = 0
     while i < dim:
         h = hashlib.sha256(h).digest()
-        chunk = np.frombuffer(h, dtype=np.uint32)[: dim - i]
+        chunk = np.frombuffer(h, dtype="<u4")[: dim - i]
+        # u32 / 2^31 and the subtraction are exact in float64
         out[i : i + chunk.size] = chunk.astype(np.float64) / 2**31 - 1.0
         i += chunk.size
     return out
@@ -66,9 +74,11 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 def extract_features(df: DataFrame, payload_col: str = "payload", dim: int = FEATURE_DIM,
                      decode_stub: bool = True) -> DataFrame:
-    """media rows -> (all columns, feature: array<float>[dim]) via
-    mapInPandas. The real decoder goes where NotImplementedError is."""
-    out_schema = df.schema.simpleString()[7:-1] + f", feature array<float>"
+    """media rows -> (all columns, feature: array<double>[dim]) via
+    mapInPandas. The real decoder goes where NotImplementedError is.
+    Features are float64 end-to-end so the deterministic stub is exactly
+    reproducible by the SQL oracle (no float32 rounding divergence)."""
+    out_schema = df.schema.simpleString()[7:-1] + ", feature array<double>"
     cols = df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,12 +114,54 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def media_repartition(df: DataFrame, target_bytes: int = 64 << 20,
-                      payload_col: str = "payload") -> DataFrame:
-    """Byte-aware repartition: estimates total payload bytes from a
-    1% sample of lengths and repartitions so each partition carries
-    ~target_bytes — row-count partitioning is wrong when payloads vary
-    by 1000x."""
-    stats = df.select(F.sum(F.length(payload_col)).alias("b")).first()
-    total = stats["b"] or 0
-    nparts = max(1, int(total // target_bytes) + 1)
+                      payload_col: str = "payload", sample_frac: float = 0.01,
+                      seed: int = 42) -> DataFrame:
+    """Byte-aware repartition so each partition carries ~``target_bytes``
+    of payload — row-count partitioning is wrong when payloads vary by
+    1000x.
+
+    Sizing never full-scans payload bytes (the round-1 version did —
+    a full pass over a 100 TB media table just to pick a partition
+    count):
+
+    - file-backed inputs: total = sum of input file sizes, read from
+      driver-side filesystem metadata — NO Spark job, zero bytes
+      scanned. On-disk size is compressed (under-counts in-memory
+      bytes), which is acceptable for split sizing and is exactly how
+      ``spark.sql.files.maxPartitionBytes`` sizes scan splits.
+    - otherwise (in-memory frames, non-local FS): a ``sample_frac``
+      sample of payload *lengths*, scaled up — reads only the sampled
+      rows.
+
+    The repartition itself is necessarily a full shuffle (the point is
+    rebalancing bytes before a heavy per-row UDF); callers that only
+    need scan-split sizing should set maxPartitionBytes / rely on AQE
+    instead of calling this."""
+    import math
+    import os
+
+    total = 0
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    for f in files:
+        p = f
+        if p.startswith("file://"):
+            p = p[7:]
+        elif p.startswith("file:"):
+            p = p[5:]
+        try:
+            total += os.path.getsize(p)
+        except OSError:  # non-local FS — fall back to sampling
+            total = 0
+            break
+    if not total:
+        s = (
+            df.sample(fraction=sample_frac, seed=seed)
+            .select(F.sum(F.length(payload_col)).alias("b"))
+            .first()
+        )
+        total = int((s["b"] or 0) / sample_frac)
+    nparts = max(1, math.ceil(total / target_bytes))
     return df.repartition(nparts)

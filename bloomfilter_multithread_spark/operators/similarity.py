@@ -184,6 +184,59 @@ def duckdb_topk_sql(table: str = "embeddings", id_col: str = "vec_id",
     """
 
 
+def duckdb_lsh_topk_sql(dim: int = 64, n_bits: int = 4, tables: int = 8,
+                        seed: int = 42, k: int = 10, table: str = "embeddings",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_pred: str = "vec_id % 50 = 0") -> str:
+    """Full SQL mirror of ``lsh_topk`` — including the approximation: the
+    seeded hyperplanes are inlined as literal DOUBLE[] rows, bucket ids
+    are recomputed from dot-product signs, and the same bucket equi-join
+    + exact rerank runs in DuckDB. Deterministic across engines because
+    (a) the planes are fixed by seed and (b) every |dot| margin is many
+    orders of magnitude above the engines' summation-order ulp
+    difference (asserted in tests/test_similarity_dedup.py), so the sign
+    bits — and hence buckets, candidates, and ranks — agree exactly."""
+    planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(tables)]
+    rows = []
+    for t in range(tables):
+        for b in range(n_bits):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[t][b]) + "]"
+            rows.append(f"({t}, {b}, {lit}::DOUBLE[])")
+    values = ",\n               ".join(rows)
+    cos = _DDB_COS.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+        WITH planes(table_idx, bit_idx, pv) AS (
+            VALUES {values}
+        ),
+        vb AS (
+            SELECT v.{id_col} AS vec_id, p.table_idx,
+                   SUM(CASE WHEN list_dot_product(v.{vec_col}::DOUBLE[], p.pv) > 0
+                            THEN (1::BIGINT << p.bit_idx) ELSE 0::BIGINT END) AS bucket
+            FROM {table} v CROSS JOIN planes p
+            GROUP BY v.{id_col}, p.table_idx
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+            FROM vb q JOIN vb v USING (table_idx, bucket)
+            WHERE q.vec_id IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   CAST(FLOOR({cos} * 10000 + 0.5) AS BIGINT) AS cosine_bp
+            FROM cand c
+            JOIN {table} a ON a.{id_col} = c.query_id
+            JOIN {table} b ON b.{id_col} = c.vec_id
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC
+            ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cosine_bp, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def duckdb_cosine_pairs_sql(table: str = "embeddings", id_col: str = "vec_id",
                             vec_col: str = "embedding", threshold_bp: int = 4000) -> str:
     """Exact all-pairs cosine >= threshold mirror of the brute-force path

@@ -63,6 +63,20 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mism, f"value mismatch at {mism[:3]}: {[(got[i], want[i]) for i in mism[:3]]}"
 
 
+# every contract query that finds PAIRS must go through a bucketed
+# equi-join — no O(N^2) physical join shapes on the public surface
+# (VERDICT.md round-1 'What's wrong' #3)
+PAIR_QUERIES = ["embedding_near_dups", "minhash_neardup", "simhash_neardup", "ann_topk_lsh"]
+
+
+@pytest.mark.parametrize("name", PAIR_QUERIES)
+def test_pair_finding_plans_have_no_quadratic_join(spark, name):
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -64,7 +64,33 @@ def test_frame_sample_fanout(spark, media):
         assert r["count"] == max(dur - 1, 0) // 1000 + 1
 
 
-def test_media_repartition_is_byte_aware(spark, media):
-    out = media_repartition(media, target_bytes=1 << 10)  # tiny target -> many parts
+def test_media_repartition_sample_path_is_byte_aware(spark, media):
+    # in-memory frame -> no input files -> sampled-length sizing
+    # (sample_frac=1.0 makes the estimate exact for the assertion)
+    out = media_repartition(media, target_bytes=1 << 10, sample_frac=1.0)
     total = media.select(F.sum(F.length("payload"))).first()[0]
-    assert out.rdd.getNumPartitions() == total // (1 << 10) + 1
+    import math
+
+    assert out.rdd.getNumPartitions() == math.ceil(total / (1 << 10))
+
+
+def test_media_repartition_file_sizing_reads_no_data(spark, media, tmp_path, monkeypatch):
+    """File-backed sizing must come from filesystem metadata only — no
+    sample, no payload scan (VERDICT.md 'What's wrong' #1)."""
+    import glob
+    import math
+    import os
+
+    from pyspark.sql import DataFrame
+
+    p = str(tmp_path / "media_pq")
+    media.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+
+    def _no_scan(self, *a, **k):
+        raise AssertionError("sizing must not scan data rows")
+
+    monkeypatch.setattr(DataFrame, "sample", _no_scan)
+    out = media_repartition(df, target_bytes=1 << 12)
+    disk = sum(os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet")))
+    assert out.rdd.getNumPartitions() == math.ceil(disk / (1 << 12))

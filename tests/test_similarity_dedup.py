@@ -124,6 +124,27 @@ def test_embedding_near_dups_confirm_is_exact(spark, emb):
         assert len(got) / len(brute) >= 0.3  # recall floor at these params
 
 
+def test_lsh_sign_margins_protect_oracle_determinism():
+    """The ann_topk_lsh oracle recomputes hyperplane-bucket sign bits in
+    DuckDB, whose dot-product summation differs from Spark's fold by a
+    few ulp (~1e-15 relative). Cross-engine bucket equality therefore
+    needs every |dot(vec, plane)| margin to sit far above that error.
+    Assert >= 1e-9 over ALL (vector, plane) pairs at the oracle's sf0.01
+    — deterministic data + seeded planes make this a permanent fact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_spark.operators.similarity import _hyperplanes
+
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"])
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    planes = np.array(
+        [_hyperplanes(64, 4, 42 + t) for t in range(8)], dtype=np.float64
+    ).reshape(-1, 64)
+    margins = np.abs(vecs @ planes.T)
+    assert margins.min() >= 1e-9, margins.min()
+
+
 def test_lsh_candidate_join_is_equijoin(spark, emb):
     """Scale-path property: the ANN candidate join must be an equi-join on
     (table_idx, bucket) — no cartesian product in the physical plan."""
