@@ -543,6 +543,71 @@ def _q_transcript_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         deltas.unpersist()
 
 
+def _q_minimizer_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position windowed minimizer (reference P4,
+    src/SkmerExtractor.cpp:77-80): per conversation, rolling min over
+    the next w=4 turns' text hashes in turn order — one window shuffle
+    on conv_id, codegen MIN. Hash = oracle-mirrorable 32-bit md5
+    prefix."""
+    from bloomfilter_multithread_spark.operators.dedup import md5_hash_col
+    from bloomfilter_multithread_spark.operators.windows import minimizer_window
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    h = tr.select("conv_id", "turn_idx", md5_hash_col("text").alias("h"))
+    return minimizer_window(h, ["conv_id"], "turn_idx", "h", w=4).select(
+        "conv_id", "turn_idx", F.col("win_min").cast("long").alias("win_min")
+    )
+
+
+def _q_sessionize_tool_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point sessionization (reference P6 analog,
+    src/SkmerExtractor.cpp:126-176): consecutive same-tool turns of a
+    conversation collapse into one episode; a new segment starts on any
+    null-safe tool change. Emits per-episode rollups."""
+    from bloomfilter_multithread_spark.operators.windows import sessionize_by_change
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    seg = sessionize_by_change(tr, ["conv_id"], "turn_idx", "tool")
+    return seg.groupBy(
+        "conv_id", F.col("seg_id").cast("long").alias("seg_id"), "tool"
+    ).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("start_turn"),
+    )
+
+
+def _q_bloom_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handled explicitly (north rule): the build input is first
+    repartitioned BY ROLE — three hot partitions, the worst-case skewed
+    upstream — then ``salt_partitions`` round-robins it back to balance
+    before the partial build. Merge associativity+commutativity makes
+    the sketch invariant to that re-partitioning, so the oracle
+    equality below IS the invariance proof on real data (the property
+    test asserts it on synthetic partitionings)."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+        with_might_contain,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    corpus = tr.where(F.col("user_id") % 2 == 0)
+    probe = tr.where(F.col("user_id") % 2 == 1)
+    skewed = corpus.repartition(F.col("role"))  # deliberately pathological
+    bloom = build_sketches(
+        skewed, [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 5})],
+        salt_partitions=32,
+    )["b"]
+    cand = with_might_contain(probe, "text", bloom).where("might_contain")
+    confirmed = cand.join(
+        F.broadcast(corpus.select("text").distinct()), "text", "left_semi"
+    )
+    return confirmed.agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
 def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPR witness: build over customer keys, probe a disjoint key range
     (custkey + 10^9); observed FPR must be within 3x the analytic
@@ -594,6 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_seen_text": _q_transcript_seen_text,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
+        "minimizer_windows": _q_minimizer_windows,
+        "sessionize_tool_runs": _q_sessionize_tool_runs,
+        "bloom_salted_skew": _q_bloom_salted_skew,
         "bloom_fpr": _q_bloom_fpr,
     }
 
@@ -691,6 +759,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(quantile_cont(delta_s, 0.9) * 1000 + 0.5) AS BIGINT) AS p90_milli,
                    TRUE AS tdigest_within_bound
             FROM d WHERE delta_s IS NOT NULL
+        """,
+        "minimizer_windows": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            h AS (SELECT conv_id, turn_idx,
+                         ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                  FROM transcripts)
+            SELECT conv_id, turn_idx,
+                   MIN(h) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+            FROM h
+        """,
+        "sessionize_tool_runs": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            c AS (SELECT conv_id, turn_idx, tool,
+                         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) = 1
+                                OR tool IS DISTINCT FROM
+                                   LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                              THEN 1 ELSE 0 END AS chg
+                  FROM transcripts),
+            s AS (SELECT *, SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                           ROWS UNBOUNDED PRECEDING) AS seg_id
+                  FROM c)
+            SELECT conv_id, CAST(seg_id AS BIGINT) AS seg_id, tool,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(MIN(turn_idx) AS INTEGER) AS start_turn
+            FROM s GROUP BY conv_id, seg_id, tool
+        """,
+        "bloom_salted_skew": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            corpus AS (SELECT text FROM transcripts WHERE user_id % 2 = 0),
+            probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM probe WHERE text IN (SELECT text FROM corpus)
         """,
         "bloom_fpr": """
             SELECT COUNT(*) AS n_probed, TRUE AS fpr_within_bound FROM customer

@@ -236,34 +236,48 @@ def main() -> None:
     spark.stop()
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        # N vs 4N cores, both in fresh subprocess JVMs. The pair is
-        # (2, 8) by default: beyond ~8 cores this single box's DRAM
-        # bandwidth — not the engine — caps scaling (BENCH.md §2), so the
-        # low pair is the one that actually measures the job's serial
-        # fraction. Override with SPARK_GRAFT_SCALE_CORES="8,32".
-        pair_env = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8")
-        small_cores, big_cores = (int(x) for x in pair_env.split(","))
+        # Sandbox protocol (BASELINE.md / BENCH.md §2): report BOTH N->4N
+        # pairs — (2,8), where this box's DRAM bandwidth is not the
+        # binding constraint and the measurement reflects the job's
+        # serial fraction, AND (8,32), annotated with the engine-free
+        # bandwidth ceiling (pure scan+hash scales only ~2.4x over that
+        # range here). Each parallelism level runs once in a fresh
+        # subprocess JVM; pairs share the measured points.
+        pairs_env = os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8;8,32")
+        pairs = [tuple(int(x) for x in p.split(",")) for p in pairs_env.split(";")]
+        levels = sorted({c for p in pairs for c in p})
         points = {}
-        for cores in (small_cores, big_cores):
+        for cores in levels:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
                 capture_output=True, text=True, timeout=3600,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
             points[cores] = json.loads(line)
-        small, big = points[small_cores], points[big_cores]
-        eff = (big["tps"] / small["tps"]) / (big_cores / small_cores)
+        pair_results = []
+        for small_cores, big_cores in pairs:
+            small, big = points[small_cores], points[big_cores]
+            eff = (big["tps"] / small["tps"]) / (big_cores / small_cores)
+            pair_results.append({
+                "cores_small": small_cores,
+                "cores_big": big_cores,
+                "tps_small": small["tps"],
+                "tps_big": big["tps"],
+                "sec_small": small["sec"],
+                "sec_big": big["sec"],
+                "efficiency": round(eff, 3),
+                "bandwidth_constrained": big_cores > 8,
+            })
+        primary = pair_results[0]
         scaling = {
             "job": "shingle_bloom_build",
-            "turns": big["turns"],
-            "shingles_sized_for": big["shingles"],
-            "cores_small": small_cores,
-            "cores_big": big_cores,
-            "tps_small": small["tps"],
-            "tps_big": big["tps"],
-            "sec_small": small["sec"],
-            "sec_big": big["sec"],
-            "efficiency": round(eff, 3),
+            "turns": points[levels[-1]]["turns"],
+            "shingles_sized_for": points[levels[-1]]["shingles"],
+            "pairs": pair_results,
+            # primary (bandwidth-unconstrained) pair kept flat for
+            # round-over-round comparability with BENCH_r01.json
+            **{k: primary[k] for k in ("cores_small", "cores_big", "tps_small",
+                                       "tps_big", "sec_small", "sec_big", "efficiency")},
         }
 
     print(
