@@ -339,6 +339,20 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=10, dim=64, n_bits=4, tables=8, qid_col="vec_id")
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: nearest-of-16 seeded unit pivots coarse
+    quantization, queries probe their 4 nearest cells, exact rerank.
+    The scale shape: the vector table partitions/buckets BY CELL, so a
+    probe reads n_probe/n_cells of the data. Oracle mirrors the same
+    approximate pipeline with literal pivots (argmax margins far above
+    cross-engine ulp; asserted in tests)."""
+    from bloomfilter_multithread_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    return ivf_topk(emb, q, k=10, dim=64, n_cells=16, n_probe=4, qid_col="vec_id")
+
+
 # --------------------------------------------------------------------------
 # text analysis family (documents table)
 # --------------------------------------------------------------------------
@@ -652,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "lang_quality": _q_lang_quality,
         "fingerprint": _q_fingerprint,
         "multimodal_frames": _q_multimodal_frames,
@@ -674,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from bloomfilter_multithread_spark.operators.similarity import (
         duckdb_cosine_pairs_sql,
+        duckdb_ivf_topk_sql,
         duckdb_lsh_topk_sql,
         duckdb_topk_sql,
     )
@@ -704,6 +720,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": duckdb_topk_sql("embeddings", "vec_id", "embedding",
                                        "vec_id % 50 = 0", 10),
         "ann_topk_lsh": duckdb_lsh_topk_sql(dim=64, n_bits=4, tables=8, seed=42,
+                                            k=10, query_pred="vec_id % 50 = 0"),
+        "ann_topk_ivf": duckdb_ivf_topk_sql(dim=64, n_cells=16, n_probe=4, seed=42,
                                             k=10, query_pred="vec_id % 50 = 0"),
         "lang_quality": f"""
             SELECT l.doc_id, l.lang_pred, q.quality_bp

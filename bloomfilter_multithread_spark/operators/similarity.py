@@ -120,6 +120,76 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     )
 
 
+def _ivf_pivots(dim: int, n_cells: int, seed: int) -> list[list[float]]:
+    """Deterministic coarse-quantizer pivots: seeded standard normals,
+    normalized to unit length (a fixed random codebook — the honest
+    baseline when no training pass is available; swap in k-means
+    centroids trained offline for production recall)."""
+    rng = np.random.default_rng(seed)
+    p = rng.standard_normal((n_cells, dim))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    return p.tolist()
+
+
+def _cell_scores(vec_col: Column, pivots: list[list[float]]) -> list[Column]:
+    return [
+        _dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) / _norm(vec_col)
+        for p in pivots
+    ]
+
+
+def ivf_assign(vec_col: Column, pivots: list[list[float]], n_probe: int = 1) -> Column:
+    """array<int> of the ``n_probe`` nearest pivot ids (by cosine,
+    descending; ties broken by lower pivot id). n_probe=1 is the build-
+    side assignment; queries probe several cells to recover recall at
+    cell boundaries."""
+    scores = _cell_scores(vec_col, pivots)
+    # array_sort on structs orders by fields left-to-right ascending, so
+    # (-score, cell) gives score desc with cell-asc tie-break
+    keyed = F.array_sort(F.array(*[
+        F.struct((-s).alias("nscore"), F.lit(i).alias("cell"))
+        for i, s in enumerate(scores)
+    ]))
+    return F.transform(F.slice(keyed, 1, n_probe), lambda s: s["cell"])
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN top-k: each vector is assigned to its nearest of
+    ``n_cells`` seeded unit pivots (coarse quantization); a query scans
+    only its ``n_probe`` nearest cells. The candidate join is a
+    co-partitionable equi-join on cell id — at 100 TB the vector table
+    is bucketed/partitioned BY CELL on disk, so a probe touches
+    n_probe/n_cells of the data and nothing else. Exact cosine rerank on
+    candidates; recall depends on n_probe (cell-boundary neighbors are
+    the loss mode, same trade-off as any IVF index)."""
+    pivots = _ivf_pivots(dim, n_cells, seed)
+    vb = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
+        F.element_at(ivf_assign(F.col(vec_col), pivots, 1), 1).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec"),
+        F.explode(ivf_assign(F.col(qvec_col), pivots, n_probe)).alias("cell"),
+    )
+    cands = (
+        qb.join(vb, "cell")
+        .select("query_id", "qvec", "vec_id", "vec")
+        .withColumn(
+            "cosine_bp",
+            F.floor(cosine(F.col("qvec"), F.col("vec")) * 10000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_bp", F.col("rank").cast("int"))
+    )
+
+
 def embedding_near_dups(vectors: DataFrame, threshold_bp: int = 9900, dim: int = 64,
                         n_bits: int = 10, tables: int = 6, seed: int = 42,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -234,6 +304,58 @@ def duckdb_lsh_topk_sql(dim: int = 64, n_bits: int = 4, tables: int = 8,
             FROM scored
         )
         SELECT query_id, vec_id, cosine_bp, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def duckdb_ivf_topk_sql(dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+                        seed: int = 42, k: int = 10, table: str = "embeddings",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_pred: str = "vec_id % 50 = 0") -> str:
+    """SQL mirror of ``ivf_topk`` — pivots inlined as literal DOUBLE[]
+    rows, the same nearest-cell assignment (score desc, cell asc) and
+    n_probe cell scan recomputed in DuckDB. Deterministic for the same
+    reason as the LSH oracle: pivot-score argmax margins sit far above
+    cross-engine summation ulp (asserted in tests)."""
+    pivots = _ivf_pivots(dim, n_cells, seed)
+    rows = ",\n               ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(pivots)
+    )
+    cos = _DDB_COS.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+        WITH pivots(cell, pv) AS (
+            VALUES {rows}
+        ),
+        scored AS (
+            SELECT v.{id_col} AS vec_id, p.cell,
+                   list_dot_product(v.{vec_col}::DOUBLE[], p.pv)
+                   / sqrt(list_dot_product(v.{vec_col}::DOUBLE[], v.{vec_col}::DOUBLE[])) AS s
+            FROM {table} v CROSS JOIN pivots p
+        ),
+        ranked_cells AS (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS cr
+            FROM scored
+        ),
+        vb AS (SELECT vec_id, cell FROM ranked_cells WHERE cr = 1),
+        qb AS (SELECT vec_id AS query_id, cell FROM ranked_cells
+               WHERE cr <= {n_probe}
+                 AND vec_id IN (SELECT {id_col} FROM {table} WHERE {query_pred})),
+        cand AS (SELECT q.query_id, v.vec_id FROM qb q JOIN vb v USING (cell)),
+        rescored AS (
+            SELECT c.query_id, c.vec_id,
+                   CAST(FLOOR({cos} * 10000 + 0.5) AS BIGINT) AS cosine_bp
+            FROM cand c
+            JOIN {table} a ON a.{id_col} = c.query_id
+            JOIN {table} b ON b.{id_col} = c.vec_id
+        ),
+        topk AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC
+            ) AS INTEGER) AS rank
+            FROM rescored
+        )
+        SELECT query_id, vec_id, cosine_bp, rank FROM topk WHERE rank <= {k}
     """
 
 

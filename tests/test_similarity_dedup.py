@@ -145,6 +145,54 @@ def test_lsh_sign_margins_protect_oracle_determinism():
     assert margins.min() >= 1e-9, margins.min()
 
 
+def test_ivf_margins_protect_oracle_determinism():
+    """ann_topk_ivf's oracle recomputes nearest-pivot assignment in
+    DuckDB; cross-engine agreement needs the per-vector gap between the
+    best and runner-up pivot scores to dwarf summation ulp, and the
+    n_probe boundary gap likewise for queries."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bloomfilter_multithread_spark.operators.similarity import _ivf_pivots
+
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"])
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    piv = np.array(_ivf_pivots(64, 16, 42), dtype=np.float64)
+    s = (vecs @ piv.T) / np.linalg.norm(vecs, axis=1, keepdims=True)
+    srt = np.sort(s, axis=1)[:, ::-1]
+    # adjacent-rank gaps across the whole ranking (covers cr=1 and the
+    # n_probe=4 boundary)
+    gaps = srt[:, :-1] - srt[:, 1:]
+    assert gaps.min() >= 1e-9, gaps.min()
+
+
+def test_ivf_topk_recall_and_selfmatch(spark, emb):
+    from bloomfilter_multithread_spark.operators.similarity import ivf_topk
+
+    q = emb.where("vec_id % 50 = 0")
+    brute = brute_force_topk(emb, q, k=10, qid_col="vec_id").collect()
+    ann = ivf_topk(emb, q, k=10, dim=64, n_cells=16, n_probe=4, qid_col="vec_id").collect()
+    want = {(r["query_id"], r["vec_id"]) for r in brute}
+    got = {(r["query_id"], r["vec_id"]) for r in ann}
+    recall = len(want & got) / len(want)
+    # 4/16 cells scanned; near-random data puts true neighbors in nearly
+    # uniform cells, so expected recall ~ a bit above n_probe/n_cells
+    assert recall >= 0.25, recall
+    for r in brute:  # self-match lives in the query's own top cell
+        if r["query_id"] == r["vec_id"]:
+            assert (r["query_id"], r["vec_id"]) in got
+
+
+def test_ivf_candidate_join_is_equijoin(spark, emb):
+    from bloomfilter_multithread_spark.operators.similarity import ivf_topk
+
+    q = emb.where("vec_id % 50 = 0")
+    plan = ivf_topk(emb, q, k=5, dim=64, n_cells=8, n_probe=2,
+                    qid_col="vec_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_candidate_join_is_equijoin(spark, emb):
     """Scale-path property: the ANN candidate join must be an equi-join on
     (table_idx, bucket) — no cartesian product in the physical plan."""
