@@ -124,7 +124,13 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
         proj = proj.repartition(nparts, block)
     elif salt_partitions:
         # explicit salted round-robin spread for skewed upstreams; the
-        # merged result is invariant to this (tested), it only balances work
+        # merged result is invariant to this (tested), it only balances
+        # work. Placement note (measured, BENCH.md §2b): this salts the
+        # hash PROJECTION, i.e. it balances the sketch-insert stage. If
+        # the expensive work is an upstream derivation (e.g. shingle
+        # explode), salt the rows BEFORE that derivation instead —
+        # df.repartition(n) ahead of the explode measured 4.35x on a
+        # role-skewed fixture where projection-level salting was noise.
         proj = proj.repartition(salt_partitions)
     spec_list = [(s.name, s.kind, dict(s.params), s.is_value) for s in specs]
 
