@@ -75,12 +75,42 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
 
 
 def rh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: bit i = sign(<v, plane_i>)."""
+    """Random-hyperplane LSH bucket id: bit i = sign(<v, plane_i>) —
+    JVM higher-order-function form. Reference semantics for tests/oracle
+    reasoning; the hot path uses ``rh_buckets_udf`` (Spark evaluates
+    lambda HOFs interpreted per element, measured ~5x slower than the
+    Arrow-batched matmul for 60 plane dots per row)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
         bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def rh_buckets_udf(planes: list[list[list[float]]]):
+    """Vectorized all-tables bucket computation: one Arrow-batched
+    pandas UDF returning array<long>[tables] per vector — a single
+    (n, dim) @ (dim, tables*n_bits) float64 matmul plus sign/packing.
+    Sign decisions agree with the JVM/SQL fold forms because every
+    |dot| margin dwarfs summation-order error (margin test in
+    tests/test_similarity_dedup.py)."""
+    import pandas as pd
+
+    mat = np.array(planes, dtype=np.float64)  # (tables, n_bits, dim)
+    tables, n_bits, dim = mat.shape
+    flat = mat.reshape(tables * n_bits, dim).T.copy()  # (dim, tables*n_bits)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs):
+        v = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        if v.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (v @ flat) > 0
+        b = (bits.reshape(len(v), tables, n_bits) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    return buckets
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
@@ -92,12 +122,12 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     Recall < 1 by design; the scale win is that the candidate join is an
     equi-join on (table_idx, bucket) instead of a cross join."""
     planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(tables)]
+    bucket_udf = rh_buckets_udf(planes)
 
     def bucketize(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
-        buckets = F.array(*[rh_bucket(F.col(vc), planes[t]) for t in range(tables)])
         return df.select(
             F.col(idc).alias(out_id), F.col(vc).alias(f"{out_id}_vec"),
-            F.posexplode(buckets).alias("table_idx", "bucket"),
+            F.posexplode(bucket_udf(F.col(vc))).alias("table_idx", "bucket"),
         )
 
     vb = bucketize(vectors, id_col, vec_col, "vec_id")
@@ -153,6 +183,29 @@ def ivf_assign(vec_col: Column, pivots: list[list[float]], n_probe: int = 1) -> 
     return F.transform(F.slice(keyed, 1, n_probe), lambda s: s["cell"])
 
 
+def ivf_cells_udf(pivots: list[list[float]], n_probe: int):
+    """Vectorized n_probe-nearest-cells assignment: one float64 matmul
+    against the pivot matrix, stable argsort (score desc, cell asc) —
+    the Arrow-batched hot-path twin of ``ivf_assign`` (same margin
+    argument as ``rh_buckets_udf``)."""
+    import pandas as pd
+
+    piv = np.array(pivots, dtype=np.float64)  # (n_cells, dim)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs):
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        if v.size == 0:
+            return pd.Series([], dtype=object)
+        s = (v @ piv.T) / np.linalg.norm(v, axis=1, keepdims=True)
+        # stable argsort of -s: ties keep original (= lower cell) order,
+        # matching ivf_assign's (-score, cell) struct sort
+        order = np.argsort(-s, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
              n_cells: int = 16, n_probe: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -166,13 +219,15 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     candidates; recall depends on n_probe (cell-boundary neighbors are
     the loss mode, same trade-off as any IVF index)."""
     pivots = _ivf_pivots(dim, n_cells, seed)
+    top1_udf = ivf_cells_udf(pivots, 1)
+    probe_udf = ivf_cells_udf(pivots, n_probe)
     vb = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"),
-        F.element_at(ivf_assign(F.col(vec_col), pivots, 1), 1).alias("cell"),
+        F.element_at(top1_udf(F.col(vec_col)), 1).alias("cell"),
     )
     qb = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec"),
-        F.explode(ivf_assign(F.col(qvec_col), pivots, n_probe)).alias("cell"),
+        F.explode(probe_udf(F.col(qvec_col))).alias("cell"),
     )
     cands = (
         qb.join(vb, "cell")
@@ -196,10 +251,10 @@ def embedding_near_dups(vectors: DataFrame, threshold_bp: int = 9900, dim: int =
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_bp >=
     threshold): hyperplane-bucket candidates + exact confirm."""
     planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(tables)]
-    buckets = F.array(*[rh_bucket(F.col(vec_col), planes[t]) for t in range(tables)])
+    bucket_udf = rh_buckets_udf(planes)
     b = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
-        F.posexplode(buckets).alias("table_idx", "bucket"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_idx", "bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
     pairs = (

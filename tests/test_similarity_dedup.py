@@ -145,6 +145,34 @@ def test_lsh_sign_margins_protect_oracle_determinism():
     assert margins.min() >= 1e-9, margins.min()
 
 
+def test_vectorized_buckets_equal_jvm_forms(spark, emb):
+    """The Arrow-batched matmul bucketizers (hot path) must agree with
+    the JVM higher-order-function reference forms on every vector —
+    the margin tests make this deterministic, this test pins it."""
+    from bloomfilter_multithread_spark.operators.similarity import (
+        _hyperplanes,
+        _ivf_pivots,
+        ivf_assign,
+        ivf_cells_udf,
+        rh_bucket,
+        rh_buckets_udf,
+    )
+
+    planes = [_hyperplanes(64, 4, 42 + t) for t in range(3)]
+    jvm = emb.select(
+        "vec_id", F.array(*[rh_bucket(F.col("embedding"), p) for p in planes]).alias("b")
+    )
+    vec = emb.select("vec_id", rh_buckets_udf(planes)(F.col("embedding")).alias("b"))
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, vec.collect()))
+
+    pivots = _ivf_pivots(64, 16, 42)
+    jvm_cells = emb.select(
+        "vec_id", ivf_assign(F.col("embedding"), pivots, 3).alias("c"))
+    vec_cells = emb.select(
+        "vec_id", ivf_cells_udf(pivots, 3)(F.col("embedding")).alias("c"))
+    assert sorted(map(tuple, jvm_cells.collect())) == sorted(map(tuple, vec_cells.collect()))
+
+
 def test_ivf_margins_protect_oracle_determinism():
     """ann_topk_ivf's oracle recomputes nearest-pivot assignment in
     DuckDB; cross-engine agreement needs the per-vector gap between the
