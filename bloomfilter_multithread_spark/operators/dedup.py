@@ -136,14 +136,27 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, id_col: s
         .distinct()
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     if pairs is not None:
-        common = common.join(pairs, ["id_a", "id_b"], "left_semi")
+        # candidate-restricted confirm: intersect per CANDIDATE pair —
+        # pairs ⋈ shingles(id_a) ⋈ shingles(id_b, same shingle). Work is
+        # linear in (candidates x shingles-per-doc). Round 1 computed the
+        # full co-shingle self-join first and semi-joined after the
+        # aggregation, which is quadratic in co-shingled docs regardless
+        # of how few candidates LSH produced.
+        common = (
+            pairs.select("id_a", "id_b")
+            .join(sh.withColumnRenamed("_id", "id_a"), "id_a")
+            .join(sh.withColumnRenamed("_id", "id_b"), ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
