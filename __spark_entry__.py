@@ -624,6 +624,49 @@ def _q_bloom_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming surface under the correctness gate: the corpus Bloom is
+    built INCREMENTALLY by Structured Streaming (readStream over the
+    corpus parquet, maxFilesPerTrigger=2 -> multiple foreachBatch
+    epochs, Trigger.AvailableNow barrier), then probed batch-side with
+    exact confirm. Sketch merge associativity+commutativity makes the
+    streamed build bit-equal to the batch build (also asserted in
+    tests/test_streaming.py), so the batch SQL oracle applies."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        with_might_contain,
+    )
+    from bloomfilter_multithread_spark.streaming.sketch_stream import (
+        StreamingSketchBuilder,
+        read_parquet_stream,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    corpus = tr.where(F.col("user_id") % 2 == 0)
+    probe = tr.where(F.col("user_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as td:
+        corpus_path = f"{td}/corpus"
+        # several files -> several micro-batch epochs
+        corpus.select("text").repartition(6).write.parquet(corpus_path)
+        stream = read_parquet_stream(spark, corpus_path, schema="text string",
+                                     max_files_per_trigger=2)
+        builder = StreamingSketchBuilder(
+            [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 5})],
+            state_dir=f"{td}/state",
+        )
+        bloom = builder.build_available(stream, checkpoint_dir=f"{td}/ckpt")["b"]
+    cand = with_might_contain(probe, "text", bloom).where("might_contain")
+    confirmed = cand.join(
+        F.broadcast(corpus.select("text").distinct()), "text", "left_semi"
+    )
+    return confirmed.agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
 def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPR witness: build over customer keys, probe a disjoint key range
     (custkey + 10^9); observed FPR must be within 3x the analytic
@@ -679,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_windows": _q_minimizer_windows,
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
+        "streaming_seen_text": _q_streaming_seen_text,
         "bloom_fpr": _q_bloom_fpr,
     }
 
@@ -807,6 +851,16 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY conv_id, seg_id, tool
         """,
         "bloom_salted_skew": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            corpus AS (SELECT text FROM transcripts WHERE user_id % 2 = 0),
+            probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM probe WHERE text IN (SELECT text FROM corpus)
+        """,
+        # streamed build ≡ batch build (merge laws), so the batch SQL is
+        # the exact oracle for the streaming pipeline too
+        "streaming_seen_text": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),
             corpus AS (SELECT text FROM transcripts WHERE user_id % 2 = 0),
             probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
