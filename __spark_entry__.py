@@ -667,6 +667,46 @@ def _q_streaming_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_checkpoint_resume_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumability under the correctness gate (north rule: 'resumable
+    from checkpoint with per-partition lineage + metrics'): the corpus
+    Bloom is built via the chunked checkpoint store, one committed chunk
+    is destroyed to simulate a crash, and the build RESUMES — rebuilding
+    only the missing chunk — before probing. A broken resume would lose
+    corpus keys (false negatives) and fail the oracle equality; lineage
+    row evidence is emitted alongside."""
+    import shutil
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        with_might_contain,
+    )
+    from bloomfilter_multithread_spark.plans.checkpoint import SketchCheckpoint
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    corpus = tr.where(F.col("user_id") % 2 == 0)
+    probe = tr.where(F.col("user_id") % 2 == 1)
+    specs = [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 5})]
+    with tempfile.TemporaryDirectory() as td:
+        cp = SketchCheckpoint(f"{td}/state")
+        cp.build_resumable(corpus, specs, n_chunks=4, chunk_key=F.col("conv_id"))
+        shutil.rmtree(cp.chunk_path(2))  # simulated crash: one chunk lost
+        bloom = cp.build_resumable(corpus, specs, n_chunks=4,
+                                   chunk_key=F.col("conv_id"))["b"]
+        lineage = cp.lineage(spark)
+        n_chunks = lineage.select("chunk").distinct().count()
+    cand = with_might_contain(probe, "text", bloom).where("might_contain")
+    confirmed = cand.join(
+        F.broadcast(corpus.select("text").distinct()), "text", "left_semi"
+    )
+    return confirmed.agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.lit(n_chunks).cast("int").alias("n_chunks"),
+    )
+
+
 def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FPR witness: build over customer keys, probe a disjoint key range
     (custkey + 10^9); observed FPR must be within 3x the analytic
@@ -723,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
+        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         "bloom_fpr": _q_bloom_fpr,
     }
 
@@ -856,6 +897,17 @@ def oracle_sql() -> dict[str, str]:
             probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
             SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
                    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM probe WHERE text IN (SELECT text FROM corpus)
+        """,
+        # resumed checkpointed build ≡ batch build (merge laws + chunk
+        # determinism), so the batch SQL is the exact oracle
+        "checkpoint_resume_seen_text": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            corpus AS (SELECT text FROM transcripts WHERE user_id % 2 = 0),
+            probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(4 AS INTEGER) AS n_chunks
             FROM probe WHERE text IN (SELECT text FROM corpus)
         """,
         # streamed build ≡ batch build (merge laws), so the batch SQL is
