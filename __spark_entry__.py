@@ -234,10 +234,15 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both tokenizers: whitespace split and the BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / single symbols)."""
+    from bloomfilter_multithread_spark.operators.textstats import token_count_bpe
+
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
     )
 
 
@@ -957,7 +962,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "token_count": r"""
-            SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_tokens_bpe
             FROM documents
         """,
         "shingle_stats": f"""

@@ -34,6 +34,20 @@ def token_count(col: Column | str = "text") -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# BPE-ish pre-tokenizer classes: letter runs, digit runs, single other
+# non-space symbols — the coarse split BPE vocabularies are trained over
+# (GPT-2-style pre-tokenization without the byte-level merges). Kept to
+# character classes both Java regex and RE2 (DuckDB) interpret
+# identically, so the SQL mirror is exact.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: Column | str = "text") -> Column:
+    """Number of BPE-ish pre-tokens (JVM regexp_count, codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Number of tokens (with multiplicity) found in lang's stopword list."""
     arr = F.array([F.lit(w) for w in STOPWORDS[lang]])
