@@ -81,6 +81,24 @@ def test_stream_epoch_replay_is_idempotent(spark, tmp_path, stream_input):
     assert state_once["cms_role"].to_bytes() == state_twice["cms_role"].to_bytes()
 
 
+def test_state_dir_reuse_with_new_checkpoint_raises(spark, tmp_path, stream_input):
+    """Reusing a state_dir under a DIFFERENT checkpoint restarts epoch
+    ids at 0; the identity guard must fail loudly instead of silently
+    treating every batch as a replay (ADVICE round 1)."""
+    df, a, b, in_dir, _ = stream_input
+    builder = StreamingSketchBuilder(_specs(), str(tmp_path / "state"))
+    stream = read_parquet_stream(spark, in_dir, df.schema)
+    builder.build_available(stream, str(tmp_path / "ckpt"))
+
+    builder2 = StreamingSketchBuilder(_specs(), str(tmp_path / "state"))
+    stream2 = read_parquet_stream(spark, in_dir, df.schema)
+    with pytest.raises(Exception) as exc_info:
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        builder2.build_available(stream2, str(tmp_path / "ckpt-DIFFERENT"))
+        # foreachBatch errors surface via the streaming query
+    assert "checkpoint" in str(exc_info.value)
+
+
 def test_running_distinct_per_key(spark, tmp_path):
     df = synth_transcripts(spark, n_convs=60, seed=7)
     in_dir = str(tmp_path / "in")
