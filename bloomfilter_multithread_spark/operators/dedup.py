@@ -62,16 +62,20 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        k: int = 5, n_perm: int = 64, seed: int = 42) -> DataFrame:
-    """(id, sig: array<long>[n_perm]) — min over distinct shingles of
+    """(id, sig: array<long>[n_perm]) — min over the shingle SET of
     (a_i * (h mod p) + b_i) mod p, p = 2^31-1, h = xxhash64(shingle).
 
     Everything is JVM codegen (pure BIGINT arithmetic): explode ->
-    distinct -> n_perm min() aggregates. One shuffle (the groupBy)."""
+    n_perm min() aggregates. No distinct step: min over a multiset
+    equals min over its set, so duplicate shingles cannot change any
+    signature coordinate — and dropping it removes a full shuffle of
+    the exploded rows. The groupBy's map-side partial aggregation
+    reduces each partition to one row per doc BEFORE the exchange, so
+    the only shuffle is O(docs x n_perm), independent of shingle
+    count."""
     a, b = _perm_coeffs(n_perm, seed)
-    sh = (
-        explode_shingles(df.select(id_col, text_col), text_col, k)
-        .select(id_col, F.xxhash64("shingle").alias("h64"))
-        .distinct()
+    sh = explode_shingles(df.select(id_col, text_col), text_col, k).select(
+        id_col, F.xxhash64("shingle").alias("h64")
     )
     hp = F.pmod(F.col("h64"), F.lit(_P31))
     mins = [
