@@ -56,6 +56,15 @@ def test_query_matches_oracle(spark, ddb, name):
     ores = ddb.sql(sql)
     ocols = sorted(ores.columns)
     assert cols == ocols, f"column mismatch: spark={cols} oracle={ocols}"
+    # dtype compatibility (the driver gate also hashes schema)
+    _DDB_TO_SPARK = {"BIGINT": "bigint", "INTEGER": "int", "VARCHAR": "string",
+                     "BOOLEAN": "boolean", "DOUBLE": "double", "FLOAT": "float"}
+    spark_types = dict(df.dtypes)
+    for cname, otype in zip(ores.columns, [str(t) for t in ores.types]):
+        want_t = _DDB_TO_SPARK.get(otype)
+        if want_t is not None:
+            assert spark_types[cname] == want_t, (
+                f"dtype mismatch on {cname}: spark={spark_types[cname]} oracle={otype}")
     orows = [dict(zip(ores.columns, t)) for t in ores.fetchall()]
     want = _norm(orows, ocols)
     assert len(got) == len(want), f"row count mismatch: {len(got)} vs {len(want)}"
