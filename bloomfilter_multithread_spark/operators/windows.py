@@ -54,6 +54,21 @@ def minimizer_window(df: DataFrame, key_cols: Sequence[str], order_col: str,
     return df.withColumn(out_col, F.min(v).over(win))
 
 
+def sliding_min(v: np.ndarray, w: int) -> np.ndarray:
+    """Forward-looking rolling min: out[i] = min(v[i : i+w]), windows
+    shrinking at the tail (= ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING
+    at the partition edge). Vectorized via sliding_window_view over a
+    max-padded tail — the padding can never win a min against the real
+    suffix values."""
+    n = len(v)
+    if n == 0:
+        return v
+    eff = min(w, n)
+    pad = np.full(eff - 1, v.max(), dtype=v.dtype)
+    win = np.lib.stride_tricks.sliding_window_view(np.concatenate([v, pad]), eff)
+    return win.min(axis=1)
+
+
 def minimizer_window_pandas(df: DataFrame, key_cols: Sequence[str], order_col: str,
                             value_col: str, w: int,
                             out_col: str = "win_min") -> DataFrame:
@@ -69,19 +84,7 @@ def minimizer_window_pandas(df: DataFrame, key_cols: Sequence[str], order_col: s
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-        v = pdf[value_col].to_numpy()
-        n = len(v)
-        if n == 0:
-            pdf[out_col] = v
-            return pdf
-        eff = min(w, n)
-        # pad the tail so trailing windows shrink (same as ROWS BETWEEN
-        # CURRENT ROW AND w-1 FOLLOWING at the partition edge)
-        pad = np.full(eff - 1, v.max() if n else 0, dtype=v.dtype)
-        win = np.lib.stride_tricks.sliding_window_view(
-            np.concatenate([v, pad]), eff
-        )
-        pdf[out_col] = win.min(axis=1)
+        pdf[out_col] = sliding_min(pdf[value_col].to_numpy(), w)
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(per_key, schema=schema)

@@ -50,6 +50,30 @@ def test_minimizer_matches_naive_loop(spark, hashed):
     assert got == naive
 
 
+def test_sliding_min_property_matches_naive():
+    """Hypothesis: the vectorized sliding-min kernel equals the naive
+    per-position loop for arbitrary int64 sequences and window sizes
+    (incl. w > n, w = 1, duplicates, extremes)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bloomfilter_multithread_spark.operators.windows import sliding_min
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60),
+        st.integers(min_value=1, max_value=70),
+    )
+    def check(vals, w):
+        v = np.array(vals, dtype=np.int64)
+        got = sliding_min(v, w)
+        naive = np.array([min(vals[i : i + w]) for i in range(len(vals))], dtype=np.int64)
+        assert np.array_equal(got, naive)
+
+    check()
+
+
 def test_sessionize_boundary_properties(spark, hashed):
     seg = sessionize_by_change(hashed, ["conv_id"], "turn_idx", "tool").collect()
     by_conv: dict[str, list] = {}
