@@ -580,6 +580,32 @@ def _q_minimizer_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_supershingle_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core extraction loop, composed end-to-end:
+    per-position windowed minimizer (P4) feeding change-point
+    segmentation (P6) — exactly 'emit a super-k-mer whenever the
+    minimizer changes' (src/SkmerExtractor.cpp:126-176), on transcript
+    turns. Output: one row per (conv, segment) with its minimizer and
+    extent. Two window passes over ONE conv_id exchange."""
+    from bloomfilter_multithread_spark.operators.dedup import md5_hash_col
+    from bloomfilter_multithread_spark.operators.windows import (
+        minimizer_window,
+        sessionize_by_change,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    h = tr.select("conv_id", "turn_idx", md5_hash_col("text").alias("h"))
+    mins = minimizer_window(h, ["conv_id"], "turn_idx", "h", w=4)
+    seg = sessionize_by_change(mins, ["conv_id"], "turn_idx", "win_min")
+    return seg.groupBy(
+        "conv_id", F.col("seg_id").cast("long").alias("seg_id")
+    ).agg(
+        F.min("win_min").cast("long").alias("minimizer"),
+        F.count("*").cast("long").alias("n_turns"),
+        F.min("turn_idx").cast("int").alias("start_turn"),
+    )
+
+
 def _q_sessionize_tool_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-point sessionization (reference P6 analog,
     src/SkmerExtractor.cpp:126-176): consecutive same-tool turns of a
@@ -765,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
+        "supershingle_segments": _q_supershingle_segments,
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
@@ -879,6 +906,30 @@ def oracle_sql() -> dict[str, str]:
                    MIN(h) OVER (PARTITION BY conv_id ORDER BY turn_idx
                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
             FROM h
+        """,
+        "supershingle_segments": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            h AS (SELECT conv_id, turn_idx,
+                         ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+                  FROM transcripts),
+            m AS (SELECT conv_id, turn_idx,
+                         MIN(h) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+                  FROM h),
+            c AS (SELECT conv_id, turn_idx, win_min,
+                         CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) = 1
+                                OR win_min IS DISTINCT FROM
+                                   LAG(win_min) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                              THEN 1 ELSE 0 END AS chg
+                  FROM m),
+            s AS (SELECT *, SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                           ROWS UNBOUNDED PRECEDING) AS seg_id
+                  FROM c)
+            SELECT conv_id, CAST(seg_id AS BIGINT) AS seg_id,
+                   CAST(MIN(win_min) AS BIGINT) AS minimizer,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(MIN(turn_idx) AS INTEGER) AS start_turn
+            FROM s GROUP BY conv_id, seg_id
         """,
         "sessionize_tool_runs": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),
