@@ -224,6 +224,42 @@ def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch SET ALGEBRA: |A ∪ B| via register-max merge
+    (exact sketch semantics) and |A ∩ B| via inclusion–exclusion, for
+    A = clicking users, B = viewing users — bound-checked against exact
+    distinct counts in ONE aggregate pass. The intersection bound is
+    additive in |A ∪ B| (the standard HLL caveat, documented on
+    HLLSketch.estimate_intersection)."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    ev = _read(spark, sf_dir, "events")
+    ha = build_sketches(ev.where(F.col("event_type") == "click"),
+                        [SketchSpec("h", "hll", "user_id", {"p": 14})])["h"]
+    hb = build_sketches(ev.where(F.col("event_type") == "view"),
+                        [SketchSpec("h", "hll", "user_id", {"p": 14})])["h"]
+    est_u = ha.estimate_union(hb)
+    est_i = ha.estimate_intersection(hb)
+    rel = ha.rel_error_bound()
+    u = F.col("exact_union")
+    agg = ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id")))
+        .cast("long").alias("exact_a"),
+        F.countDistinct(F.when(F.col("event_type") == "view", F.col("user_id")))
+        .cast("long").alias("exact_b"),
+        F.countDistinct(
+            F.when(F.col("event_type").isin("click", "view"), F.col("user_id"))
+        ).cast("long").alias("exact_union"),
+    )
+    return agg.select(
+        "exact_a", "exact_b", "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - u).cast("long").alias("exact_intersection"),
+        (F.abs(F.lit(est_u) - u) <= F.lit(4 * rel) * u).alias("union_within_bound"),
+        (F.abs(F.lit(est_i) - (F.col("exact_a") + F.col("exact_b") - u))
+         <= F.lit(8 * rel) * u).alias("intersection_within_bound"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
     docs = _read(spark, sf_dir, "documents")
@@ -771,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "bloom_zero_fn": _q_bloom_zero_fn,
         "hll_distinct": _q_hll_distinct,
+        "hll_setops": _q_hll_setops,
         "cms_heavy_users": _q_cms_heavy_users,
         "kll_quantiles": _q_kll_quantiles,
         "tdigest_quantiles": _q_tdigest_quantiles,
@@ -993,6 +1030,21 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_users": """
             SELECT user_id, COUNT(*) AS n_events FROM events
             GROUP BY user_id HAVING COUNT(*) >= 80
+        """,
+        "hll_setops": """
+            SELECT exact_a, exact_b, exact_union,
+                   CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersection,
+                   TRUE AS union_within_bound,
+                   TRUE AS intersection_within_bound
+            FROM (
+                SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                                THEN user_id END) AS BIGINT) AS exact_a,
+                       CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                                THEN user_id END) AS BIGINT) AS exact_b,
+                       CAST(COUNT(DISTINCT CASE WHEN event_type IN ('click', 'view')
+                                                THEN user_id END) AS BIGINT) AS exact_union
+                FROM events
+            ) x
         """,
         "kll_quantiles": """
             SELECT CAST(FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) AS BIGINT) AS p25_cents,

@@ -82,6 +82,22 @@ class HLLSketch(MergeableSketch):
     def rel_error_bound(self) -> float:
         return 1.04 / math.sqrt(self.m)
 
+    def copy(self) -> "HLLSketch":
+        return HLLSketch(p=self.p, registers=self.registers.copy())
+
+    def estimate_union(self, other: "HLLSketch") -> float:
+        """|A ∪ B| — merge is union, so this is exact sketch algebra
+        (register max on copies; neither operand is mutated)."""
+        return self.copy().merge(other).estimate()
+
+    def estimate_intersection(self, other: "HLLSketch") -> float:
+        """|A ∩ B| by inclusion–exclusion on the estimates. Error is
+        ADDITIVE in the union size (~1.04/sqrt(m) * |A∪B|), so the
+        relative error blows up for small intersections of large sets —
+        callers should bound-check against eps * |A∪B|, not eps * |A∩B|
+        (standard HLL set-algebra caveat)."""
+        return max(0.0, self.estimate() + other.estimate() - self.estimate_union(other))
+
     def _payload_bytes(self) -> bytes:
         return struct.pack("<I", self.p) + np_tobytes(self.registers)
 

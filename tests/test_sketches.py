@@ -277,3 +277,28 @@ class TestBlockedBloom:
         assert sk2.block_bits == 1 << 16
         assert np.array_equal(sk.bits, sk2.bits)
         assert sk2.probe_hashes(np.arange(1000, dtype=np.int64)).all()
+
+
+def test_hll_set_algebra_bounds_and_immutability():
+    """Union via register-max on copies; intersection via
+    inclusion-exclusion with ADDITIVE error in |A∪B|; operands must not
+    be mutated by either estimate."""
+    import numpy as np
+
+    from bloomfilter_multithread_spark.sketches.hll import HLLSketch
+
+    rng = np.random.default_rng(7)
+    # full-range int64, as JVM xxhash64 produces (HLL buckets by the
+    # TOP p bits — restricted ranges would starve most buckets)
+    a_keys = rng.integers(-2**63, 2**63, size=60_000, dtype=np.int64)
+    b_keys = np.concatenate([a_keys[:20_000],  # 20k overlap
+                             rng.integers(-2**63, 2**63, size=40_000, dtype=np.int64)])
+    ha = HLLSketch.create(p=14).update_hashes(a_keys)
+    hb = HLLSketch.create(p=14).update_hashes(b_keys)
+    ra, rb = ha.registers.copy(), hb.registers.copy()
+    exact_u = len(set(a_keys.tolist()) | set(b_keys.tolist()))
+    exact_i = len(set(a_keys.tolist()) & set(b_keys.tolist()))
+    rel = ha.rel_error_bound()
+    assert abs(ha.estimate_union(hb) - exact_u) <= 4 * rel * exact_u
+    assert abs(ha.estimate_intersection(hb) - exact_i) <= 8 * rel * exact_u
+    assert np.array_equal(ha.registers, ra) and np.array_equal(hb.registers, rb)
