@@ -260,6 +260,37 @@ def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min INNER PRODUCT (Cormode–Muthukrishnan §4.2): the
+    equi-join size of the click stream and the view stream on user_id,
+    estimated from two sketches alone — the classic sketch-based join
+    cardinality / F2 primitive — bound-checked against the exact join
+    size computed in one aggregate."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    ev = _read(spark, sf_dir, "events")
+    spec = [SketchSpec("c", "cms", "user_id", {"width": 1 << 14, "depth": 5})]
+    ca = build_sketches(ev.where(F.col("event_type") == "click"), spec)["c"]
+    cb = build_sketches(ev.where(F.col("event_type") == "view"), spec)["c"]
+    est = ca.estimate_inner_product(cb)
+    bound = ca.inner_product_bound(cb)
+    per_user = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("cb"),
+        )
+    )
+    exact = per_user.agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_join_size"))
+    j = F.col("exact_join_size")
+    return exact.select(
+        "exact_join_size",
+        ((F.lit(est) >= j) & (F.lit(float(est)) - j <= F.lit(float(bound))))
+        .alias("cms_within_bound"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), keeper = min doc_id."""
     docs = _read(spark, sf_dir, "documents")
@@ -809,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "hll_setops": _q_hll_setops,
         "cms_heavy_users": _q_cms_heavy_users,
+        "cms_join_size": _q_cms_join_size,
         "kll_quantiles": _q_kll_quantiles,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "dedup_exact": _q_dedup_exact,
@@ -1030,6 +1062,14 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_users": """
             SELECT user_id, COUNT(*) AS n_events FROM events
             GROUP BY user_id HAVING COUNT(*) >= 80
+        """,
+        "cms_join_size": """
+            SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_size,
+                   TRUE AS cms_within_bound
+            FROM (SELECT user_id,
+                         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+                  FROM events GROUP BY user_id) x
         """,
         "hll_setops": """
             SELECT exact_a, exact_b, exact_union,

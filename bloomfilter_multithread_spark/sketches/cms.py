@@ -91,6 +91,24 @@ class CMSSketch(MergeableSketch):
         eps = math.e / self.width
         return eps * self.total
 
+    def estimate_inner_product(self, other: "CMSSketch") -> int:
+        """Cormode–Muthukrishnan inner-product estimate (§4.2):
+        min over rows of <row_a, row_b>. For streams A, B this
+        estimates sum_x f_A(x)*f_B(x) — the equi-join size of A and B
+        on the sketched key; with ``other = self`` it is the AMS-style
+        F2 (self-join size / second frequency moment). Always an
+        OVERestimate; error <= eps * N_A * N_B with prob 1-delta, eps =
+        e/width. Requires identical (width, depth) and the same
+        row-hash family (guaranteed here: hashes are deterministic
+        double-hashing of the same key hash)."""
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cms param mismatch")
+        return int((self.table * other.table).sum(axis=1).min())
+
+    def inner_product_bound(self, other: "CMSSketch") -> float:
+        """eps * N_A * N_B overcount bound for the inner product."""
+        return (math.e / self.width) * self.total * other.total
+
     def _payload_bytes(self) -> bytes:
         return struct.pack("<IIq", self.width, self.depth, self.total) + np_tobytes(self.table)
 

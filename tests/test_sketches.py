@@ -302,3 +302,28 @@ def test_hll_set_algebra_bounds_and_immutability():
     assert abs(ha.estimate_union(hb) - exact_u) <= 4 * rel * exact_u
     assert abs(ha.estimate_intersection(hb) - exact_i) <= 8 * rel * exact_u
     assert np.array_equal(ha.registers, ra) and np.array_equal(hb.registers, rb)
+
+
+def test_cms_inner_product_overestimates_within_bound():
+    """CMS inner product always >= the true join size, within
+    eps*N_A*N_B; merging partials first must give the same estimate
+    (linearity of the count table)."""
+    import numpy as np
+
+    from bloomfilter_multithread_spark.sketches.cms import CMSSketch
+
+    rng = np.random.default_rng(13)
+    # Zipf-ish frequencies over 500 keys, full-range hashes stand in
+    keys = rng.integers(-2**63, 2**63, size=500, dtype=np.int64)
+    fa = rng.integers(0, 50, size=500).astype(np.int64)
+    fb = rng.integers(0, 50, size=500).astype(np.int64)
+    ca = CMSSketch.create(width=1 << 12, depth=5).update_hashes(keys, counts=fa)
+    cb = CMSSketch.create(width=1 << 12, depth=5).update_hashes(keys, counts=fb)
+    exact = int((fa * fb).sum())
+    est = ca.estimate_inner_product(cb)
+    assert est >= exact
+    assert est - exact <= ca.inner_product_bound(cb)
+    # merge linearity: split A into halves, merge, same estimate
+    ca1 = CMSSketch.create(width=1 << 12, depth=5).update_hashes(keys[:250], counts=fa[:250])
+    ca2 = CMSSketch.create(width=1 << 12, depth=5).update_hashes(keys[250:], counts=fa[250:])
+    assert ca1.merge(ca2).estimate_inner_product(cb) == est
