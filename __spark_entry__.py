@@ -1107,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id,
                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
                      AS n_tokens_bpe
             FROM documents
         """,

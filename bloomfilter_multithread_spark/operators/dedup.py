@@ -148,7 +148,9 @@ def exact_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, id_col: s
         # aggregation, which is quadratic in co-shingled docs regardless
         # of how few candidates LSH produced.
         common = (
-            pairs.select("id_a", "id_b")
+            # duplicate (id_a,id_b) rows would double n_common and inflate
+            # jaccard; ids-only distinct is cheap (ADVICE round 2)
+            pairs.select("id_a", "id_b").distinct()
             .join(sh.withColumnRenamed("_id", "id_a"), "id_a")
             .join(sh.withColumnRenamed("_id", "id_b"), ["id_b", "shingle"])
             .groupBy("id_a", "id_b")

@@ -129,9 +129,13 @@ def media_repartition(df: DataFrame, target_bytes: int = 64 << 20,
       scanned. On-disk size is compressed (under-counts in-memory
       bytes), which is acceptable for split sizing and is exactly how
       ``spark.sql.files.maxPartitionBytes`` sizes scan splits.
-    - otherwise (in-memory frames, non-local FS): a ``sample_frac``
-      sample of payload *lengths*, scaled up — reads only the sampled
-      rows.
+      Limitation: ``df.inputFiles()`` reports ALL source files and all
+      columns' bytes even when ``df`` is filtered or projected, so a
+      narrow subset would be over-partitioned; when the plan contains a
+      Filter the sampling path is used instead (ADVICE round 2).
+    - otherwise (in-memory frames, non-local FS, filtered plans): a
+      ``sample_frac`` sample of payload *lengths*, scaled up — reads
+      only the sampled rows.
 
     The repartition itself is necessarily a full shuffle (the point is
     rebalancing bytes before a heavy per-row UDF); callers that only
@@ -142,7 +146,10 @@ def media_repartition(df: DataFrame, target_bytes: int = 64 << 20,
 
     total = 0
     try:
-        files = df.inputFiles()
+        # file metadata sizes the WHOLE source; a filtered df keeps only
+        # a subset of those bytes, so fall through to the sample there
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        files = [] if "Filter" in plan else df.inputFiles()
     except Exception:
         files = []
     for f in files:

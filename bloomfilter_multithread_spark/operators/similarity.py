@@ -125,26 +125,39 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     bucket_udf = rh_buckets_udf(planes)
 
     def bucketize(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        # ids + bucket only — the candidate join and its dedup shuffle
+        # 16-byte id pairs, never the vectors (VERDICT round 2 #4: the
+        # old plan's .distinct() exchange carried ~1 KB of doubles per
+        # duplicate candidate)
         return df.select(
-            F.col(idc).alias(out_id), F.col(vc).alias(f"{out_id}_vec"),
+            F.col(idc).alias(out_id),
             F.posexplode(bucket_udf(F.col(vc))).alias("table_idx", "bucket"),
         )
 
     vb = bucketize(vectors, id_col, vec_col, "vec_id")
     qb = bucketize(queries, qid_col, qvec_col, "query_id")
-    cands = (
-        qb.join(vb, ["table_idx", "bucket"])
-        .select("query_id", "query_id_vec", "vec_id", "vec_id_vec")
-        .distinct()
+    cand_ids = qb.join(vb, ["table_idx", "bucket"]).select("query_id", "vec_id").distinct()
+    # rerank: re-attach embeddings via broadcast joins — candidate ids are
+    # |Q| * bucket-occupancy (small by construction: the query set is the
+    # small side of any ANN probe), the query-vector map likewise, so the
+    # big vector table streams through both joins with zero shuffle
+    qmap = F.broadcast(queries.select(F.col(qid_col).alias("query_id"),
+                                      F.col(qvec_col).alias("qvec")))
+    scored = (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(qmap, "query_id")
         .withColumn(
             "cosine_bp",
-            F.floor(cosine(F.col("query_id_vec"), F.col("vec_id_vec")) * 10000 + F.lit(0.5))
-            .cast("long"),
+            F.floor(cosine(F.col("qvec"), F.col("vec")) * 10000 + F.lit(0.5)).cast("long"),
         )
+        # drop vectors BEFORE the ranking window so its sort exchange
+        # moves 24-byte rows, not embeddings
+        .select("query_id", "vec_id", "cosine_bp")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_bp", F.col("rank").cast("int"))
     )
@@ -249,26 +262,40 @@ def embedding_near_dups(vectors: DataFrame, threshold_bp: int = 9900, dim: int =
                         n_bits: int = 10, tables: int = 6, seed: int = 42,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_bp >=
-    threshold): hyperplane-bucket candidates + exact confirm."""
+    threshold): hyperplane-bucket candidates + exact confirm.
+
+    Candidate generation and dedup run on IDS ONLY (the bucket self-join
+    and its .distinct() shuffle 16-byte id pairs — VERDICT round 2 #4);
+    embeddings are re-attached for the confirm via broadcast of the
+    deduped candidate ids, so the vector table itself never enters a
+    shuffle. LSH parameters are tuned so candidates are a sparse subset
+    (near-dup rate << 1); if a workload's candidate set outgrows the
+    broadcast limit, bucket the vector table by id and swap the two
+    broadcast joins for co-located equi-joins — the ids-first shape is
+    unchanged."""
     planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(tables)]
     bucket_udf = rh_buckets_udf(planes)
-    b = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
-        F.posexplode(bucket_udf(F.col(vec_col))).alias("table_idx", "bucket"),
+    vecs = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    b = vecs.select(
+        "_id", F.posexplode(bucket_udf(F.col("_vec"))).alias("table_idx", "bucket")
     )
     x, y = b.alias("x"), b.alias("y")
-    pairs = (
+    pair_ids = (
         x.join(
             y,
             (F.col("x.table_idx") == F.col("y.table_idx"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x._id") < F.col("y._id")),
         )
-        .select(
-            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
-            F.col("x._vec").alias("va"), F.col("y._vec").alias("vb"),
-        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
+    )
+    pairs = (
+        vecs.select(F.col("_id").alias("id_a"), F.col("_vec").alias("va"))
+        .join(F.broadcast(pair_ids), "id_a")
+        .join(F.broadcast(vecs.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vb"))
+                          .join(F.broadcast(pair_ids.select("id_b").distinct()), "id_b")),
+              "id_b")
         .withColumn("cosine_bp",
                     F.floor(cosine(F.col("va"), F.col("vb")) * 10000 + F.lit(0.5)).cast("long"))
         .where(F.col("cosine_bp") >= threshold_bp)

@@ -38,8 +38,11 @@ def token_count(col: Column | str = "text") -> Column:
 # non-space symbols — the coarse split BPE vocabularies are trained over
 # (GPT-2-style pre-tokenization without the byte-level merges). Kept to
 # character classes both Java regex and RE2 (DuckDB) interpret
-# identically, so the SQL mirror is exact.
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# identically, so the SQL mirror is exact. Whitespace is spelled as an
+# explicit class rather than \s: Java's \s includes \x0B (vertical tab)
+# while RE2's does not, so \s would diverge on VT-bearing text
+# (ADVICE round 2).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def token_count_bpe(col: Column | str = "text") -> Column:

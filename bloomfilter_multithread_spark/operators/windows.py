@@ -76,7 +76,7 @@ def minimizer_window_pandas(df: DataFrame, key_cols: Sequence[str], order_col: s
     with a vectorized numpy sliding-window reduction (Arrow batches, no
     per-row Python). The escape hatch for reductions Spark's window
     functions can't express; kept bit-identical to the JVM form by
-    tests/test_spark_build.py."""
+    tests/test_windows.py."""
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{out_col} {df.schema[value_col].dataType.simpleString()}"]

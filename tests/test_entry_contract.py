@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 
 import duckdb
@@ -85,6 +86,33 @@ def test_pair_finding_plans_have_no_quadratic_join(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# VERDICT round 2 #4: candidate dedup (and every other shuffle) in the
+# LSH/IVF queries must move ids and scores, never the 64-dim embeddings —
+# at 100 TB a .distinct() that carries vectors shuffles ~1 KB per
+# duplicate candidate where 16 bytes of ids suffice. Broadcast exchanges
+# of the (small) query/candidate side are exempt by design.
+VECTOR_QUERIES = ["ann_topk_lsh", "ann_topk_ivf", "embedding_near_dups", "cosine_topk"]
+
+
+@pytest.mark.parametrize("name", VECTOR_QUERIES)
+def test_vector_query_shuffles_carry_no_embeddings(spark, name):
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # formatted-plan sections: "(n) NodeName" then "Input [k]: [cols]";
+    # shuffle nodes are headed "Exchange", broadcasts "BroadcastExchange"
+    sections = re.split(r"\n\(\d+\) ", "\n" + plan)
+    offenders = []
+    for sec in sections:
+        head = sec.split("\n", 1)[0].strip()
+        if not head.startswith("Exchange"):
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+        cols = m.group(1) if m else ""
+        if re.search(r"(embedding|vec|qvec|va|vb)#", cols):
+            offenders.append((head, cols))
+    assert not offenders, f"{name}: shuffle exchange carries vectors: {offenders}"
 
 
 def test_entry_smoke(spark):

@@ -92,8 +92,11 @@ def test_state_dir_reuse_with_new_checkpoint_raises(spark, tmp_path, stream_inpu
 
     builder2 = StreamingSketchBuilder(_specs(), str(tmp_path / "state"))
     stream2 = read_parquet_stream(spark, in_dir, df.schema)
+    # the append is setup, not the assertion target — keep it outside
+    # pytest.raises so an unrelated write failure can't satisfy the raise
+    # (ADVICE round 2)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
     with pytest.raises(Exception) as exc_info:
-        b.coalesce(1).write.mode("append").parquet(in_dir)
         builder2.build_available(stream2, str(tmp_path / "ckpt-DIFFERENT"))
         # foreachBatch errors surface via the streaming query
     assert "checkpoint" in str(exc_info.value)
