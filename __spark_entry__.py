@@ -404,13 +404,22 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB scale path (equi-join on buckets instead of cross join).
     Recall < 1 by design; the oracle mirrors the SAME approximate
     pipeline in SQL (seeded hyperplanes inlined as literals), so the
-    check is exact; the recall-vs-brute-force bound is additionally
-    asserted in tests/test_similarity_dedup.py."""
-    from bloomfilter_multithread_spark.operators.similarity import lsh_topk
+    check is exact. Each row additionally carries ``recall_bp``: the
+    per-query recall against the exact brute-force top-k computed INSIDE
+    the gated query (VERDICT round 2 #3) — the hash now covers
+    approximation quality, not only cross-engine determinism. The Q x N
+    witness scan is the same sanctioned broadcast shape as cosine_topk."""
+    from bloomfilter_multithread_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        with_recall,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
-    return lsh_topk(emb, q, k=10, dim=64, n_bits=4, tables=8, qid_col="vec_id")
+    approx = lsh_topk(emb, q, k=10, dim=64, n_bits=4, tables=8, qid_col="vec_id")
+    exact = brute_force_topk(emb, q, k=10, qid_col="vec_id")
+    return with_recall(approx, exact, k=10)
 
 
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,11 +429,17 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe reads n_probe/n_cells of the data. Oracle mirrors the same
     approximate pipeline with literal pivots (argmax margins far above
     cross-engine ulp; asserted in tests)."""
-    from bloomfilter_multithread_spark.operators.similarity import ivf_topk
+    from bloomfilter_multithread_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        with_recall,
+    )
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
-    return ivf_topk(emb, q, k=10, dim=64, n_cells=16, n_probe=4, qid_col="vec_id")
+    approx = ivf_topk(emb, q, k=10, dim=64, n_cells=16, n_probe=4, qid_col="vec_id")
+    exact = brute_force_topk(emb, q, k=10, qid_col="vec_id")
+    return with_recall(approx, exact, k=10)
 
 
 # --------------------------------------------------------------------------
@@ -879,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_cosine_pairs_sql,
         duckdb_ivf_topk_sql,
         duckdb_lsh_topk_sql,
+        duckdb_recall_sql,
         duckdb_topk_sql,
     )
     from bloomfilter_multithread_spark.operators.textstats import (
@@ -907,10 +923,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": duckdb_topk_sql("embeddings", "vec_id", "embedding",
                                        "vec_id % 50 = 0", 10),
-        "ann_topk_lsh": duckdb_lsh_topk_sql(dim=64, n_bits=4, tables=8, seed=42,
-                                            k=10, query_pred="vec_id % 50 = 0"),
-        "ann_topk_ivf": duckdb_ivf_topk_sql(dim=64, n_cells=16, n_probe=4, seed=42,
-                                            k=10, query_pred="vec_id % 50 = 0"),
+        "ann_topk_lsh": duckdb_recall_sql(
+            duckdb_lsh_topk_sql(dim=64, n_bits=4, tables=8, seed=42,
+                                k=10, query_pred="vec_id % 50 = 0"),
+            k=10, query_pred="vec_id % 50 = 0",
+        ),
+        "ann_topk_ivf": duckdb_recall_sql(
+            duckdb_ivf_topk_sql(dim=64, n_cells=16, n_probe=4, seed=42,
+                                k=10, query_pred="vec_id % 50 = 0"),
+            k=10, query_pred="vec_id % 50 = 0",
+        ),
         "lang_quality": f"""
             SELECT l.doc_id, l.lang_pred, q.quality_bp
             FROM ({duckdb_lang_id('documents')}) l

@@ -222,7 +222,8 @@ def _merge_levels(partials: DataFrame, fanout: int = 16) -> DataFrame:
 
 
 def build_and_persist(df: DataFrame, specs: list[SketchSpec], path: str,
-                      route_for: str | None = None, fanout: int = 16) -> None:
+                      route_for: str | None = None, fanout: int = 16,
+                      route_partitions: int | None = None) -> None:
     """Cluster-side build: scan -> partials -> tree merge -> parquet state
     at ``path`` — one row per spec, WRITTEN BY THE EXECUTORS. The driver
     never ingests the merged blobs (at m = 2^29+ the py4j collect is
@@ -230,9 +231,10 @@ def build_and_persist(df: DataFrame, specs: list[SketchSpec], path: str,
     exactly the specs they need via ``load_sketches``. This is the
     scale-correct form of the reference's stubbed binary sink
     (/root/reference/src/main.cpp:233-239)."""
-    _merge_levels(build_partials(df, specs, route_for=route_for), fanout).write.mode(
-        "overwrite"
-    ).parquet(path)
+    _merge_levels(
+        build_partials(df, specs, route_for=route_for, route_partitions=route_partitions),
+        fanout,
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_sketches(spark, path: str, names: list[str] | None = None

@@ -211,6 +211,28 @@ def test_ivf_topk_recall_and_selfmatch(spark, emb):
             assert (r["query_id"], r["vec_id"]) in got
 
 
+def test_with_recall_witness_semantics(spark, emb):
+    """recall_bp is 10000 when approx == exact and matches the hand-count
+    on a genuinely approximate result (VERDICT round 2 #3 witness)."""
+    from bloomfilter_multithread_spark.operators.similarity import ivf_topk, with_recall
+
+    q = emb.where("vec_id % 50 = 0")
+    exact = brute_force_topk(emb, q, k=10, qid_col="vec_id")
+    perfect = with_recall(exact, exact, k=10).collect()
+    assert perfect and all(r["recall_bp"] == 10000 for r in perfect)
+
+    ann = ivf_topk(emb, q, k=10, dim=64, n_cells=16, n_probe=4, qid_col="vec_id")
+    got = with_recall(ann, exact, k=10).collect()
+    want = {}
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    for r in ann.collect():
+        want.setdefault(r["query_id"], 0)
+        if (r["query_id"], r["vec_id"]) in exact_set:
+            want[r["query_id"]] += 1
+    for r in got:
+        assert r["recall_bp"] == int(want[r["query_id"]] * 10000.0 / 10 + 0.5), r
+
+
 def test_ivf_candidate_join_is_equijoin(spark, emb):
     from bloomfilter_multithread_spark.operators.similarity import ivf_topk
 
