@@ -246,6 +246,52 @@ class BloomSketch(MergeableSketch):
             return float("inf")
         return -self.m_bits / self.k * math.log(1.0 - x / self.m_bits)
 
+    # -- set algebra (completes the HLL/CMS algebra symmetry, VERDICT r2
+    # #6; SURVEY §2.2 set-ops note: AND-intersection is a documented
+    # UPPER-BOUND estimate, not a filter built on A∩B) ------------------
+    def intersect(self, other: "BloomSketch") -> "BloomSketch":
+        """New sketch whose bit array is the AND of the two filters.
+
+        Semantics (Bloom set algebra, e.g. Papapetrou et al. 2010):
+        every key of A∩B has all k bits set in BOTH filters, so probing
+        the AND-array has ZERO false negatives for true intersection
+        members — it answers "might be in A∩B" as a strict upper bound.
+        Extra positives beyond Bloom noise exist because the AND-array
+        keeps bits that A-keys and B-keys set coincidentally: for a key
+        in A only, all k of its bits are set on the A side already, so
+        it false-positives at B's fill rate fill_b^k (and symmetrically);
+        a fresh key false-positives at ~(fill_a * fill_b)^k. The result
+        is therefore NOT equivalent to a filter built on A∩B (that one
+        would be strictly sparser); it is the documented estimate only."""
+        self._require_same_kind(other)
+        if (self.m_bits, self.k, self.block_bits) != (other.m_bits, other.k, other.block_bits):
+            raise ValueError("bloom param mismatch")
+        return BloomSketch(m_bits=self.m_bits, k=self.k, block_bits=self.block_bits,
+                           bits=self.bits & other.bits)
+
+    def fill_fraction(self) -> float:
+        return self._nset() / self.m_bits
+
+    def estimate_union_cardinality(self, other: "BloomSketch") -> float:
+        """|A ∪ B| via Swamidass–Baldi on the OR of the bit arrays (the
+        merge law makes OR(A,B) exactly the filter of A ∪ B, so this
+        carries the single-filter estimator's error). Mutates neither."""
+        if (self.m_bits, self.k) != (other.m_bits, other.k):
+            raise ValueError("bloom param mismatch")
+        x = int(np.count_nonzero(self.bits | other.bits))
+        if x >= self.m_bits:
+            return float("inf")
+        return -self.m_bits / self.k * math.log(1.0 - x / self.m_bits)
+
+    def estimate_intersection_cardinality(self, other: "BloomSketch") -> float:
+        """|A ∩ B| by inclusion–exclusion over fill-ratio estimates
+        (|A| + |B| - |A ∪ B|). Like HLL's intersection, the error is
+        ADDITIVE in the union estimate's error — small intersections of
+        large sets are the weak spot (same caveat as
+        HLLSketch.estimate_intersection)."""
+        return (self.estimate_cardinality() + other.estimate_cardinality()
+                - self.estimate_union_cardinality(other))
+
     def fpr_bound(self, n_inserted: int) -> float:
         """Published (1 - e^{-kn/m})^k for n inserted keys."""
         return (1.0 - math.exp(-self.k * n_inserted / self.m_bits)) ** self.k

@@ -132,6 +132,57 @@ class TestBloom:
 
 
 # ---------------------------------------------------------------- hll
+class TestBloomSetAlgebra:
+    """AND-intersection + fill-ratio set-cardinality algebra (VERDICT
+    round 2 #6 — completes the HLL/CMS algebra symmetry)."""
+
+    def _ab(self, n_a=20_000, n_b=15_000, n_common=5_000):
+        common = _hashes(n_common, seed=10)
+        a = np.concatenate([common, _hashes(n_a - n_common, seed=11)])
+        b = np.concatenate([common, _hashes(n_b - n_common, seed=12)])
+        sa = BloomSketch(1 << 20, 5).update_hashes(a)
+        sb = BloomSketch(1 << 20, 5).update_hashes(b)
+        return a, b, common, sa, sb
+
+    def test_intersect_zero_fn_for_members(self):
+        _, _, common, sa, sb = self._ab()
+        inter = sa.intersect(sb)
+        assert inter.probe_hashes(common).all()
+
+    def test_intersect_is_commutative_and_upper_bound(self):
+        a, b, common, sa, sb = self._ab()
+        ab = sa.intersect(sb)
+        ba = sb.intersect(sa)
+        assert np.array_equal(ab.bits, ba.bits)
+        # upper bound: AND-array is a superset of the bits a filter built
+        # on the true intersection would set
+        true_inter = BloomSketch(1 << 20, 5).update_hashes(common)
+        assert not np.any(true_inter.bits & ~ab.bits)
+        # FP rate on fresh keys ~ (fill_a * fill_b)^k — give 5x + binomial slack
+        fresh = _hashes(100_000, seed=13)
+        fp = ab.probe_hashes(fresh).mean()
+        analytic = (sa.fill_fraction() * sb.fill_fraction()) ** 5
+        assert fp <= 5 * analytic + 5 / math.sqrt(fresh.size)
+
+    def test_cardinality_algebra_within_bounds(self):
+        a, b, common, sa, sb = self._ab()
+        nu = np.unique(np.concatenate([a, b])).size
+        est_u = sa.estimate_union_cardinality(sb)
+        est_i = sa.estimate_intersection_cardinality(sb)
+        assert abs(est_u - nu) <= 0.02 * nu
+        assert abs(est_i - common.size) <= 0.05 * nu
+        # estimate_union must not mutate either operand
+        assert abs(sa.estimate_cardinality() - 20_000) <= 0.02 * 20_000
+
+    def test_param_mismatch_raises(self):
+        import pytest
+
+        sa = BloomSketch(1 << 16, 4)
+        sb = BloomSketch(1 << 17, 4)
+        with pytest.raises(ValueError):
+            sa.intersect(sb)
+
+
 class TestHLL:
     def test_estimate_within_bound(self):
         for true_n in (100, 10_000, 500_000):
