@@ -380,6 +380,59 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolled_kmer_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's build+probe pipeline through the LITERAL O(1)
+    rolling-hash kernel (P3, SkmerExtractor.cpp:65-74,104) under the
+    correctness gate: build a Bloom over the rolled char-16-mer hashes of
+    EVEN documents' text; probe every document's 60-char-prefix 16-mers.
+    ``n_seen`` is confirmed EXACTLY by a string equi-join (the bloom-
+    prefilter + exact-confirm pattern, so the output is SQL-mirrorable
+    despite Bloom FPs); ``bloom_zero_fn`` witnesses that every exactly-
+    seen k-mer probed TRUE — the kernel's build/probe hash agreement
+    (position independence) gated end to end."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+        with_might_contain,
+    )
+    from bloomfilter_multithread_spark.sources.fasta import rolled_kmer_hashes
+
+    k = 16
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_docs = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = build_sketches(
+        rolled_kmer_hashes(corpus_docs, seq_col="text", k=k).select("kmer_hash"),
+        [SketchSpec("b", "bloom", "kmer_hash", {"m_bits": 1 << 23, "k": 5},
+                    pre_hashed=True)],
+    )["b"]
+    qdocs = docs.select("doc_id", F.substring("text", 1, 60).alias("text"))
+    qk = rolled_kmer_hashes(qdocs, seq_col="text", k=k, with_pos=True).select(
+        "doc_id",
+        F.substring("text", F.col("kmer_pos") + 1, k).alias("kmer"),
+        "kmer_hash",
+    ).dropDuplicates(["doc_id", "kmer"])
+    probed = with_might_contain(qk, F.col("kmer_hash"), bloom, pre_hashed=True)
+    corpus_kmers = (
+        corpus_docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(0))),
+                    lambda i: F.col("text").substr(i, F.lit(k)),
+                )
+            ).alias("kmer")
+        ).distinct().withColumn("in_corpus", F.lit(True))
+    )
+    joined = probed.join(corpus_kmers, "kmer", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_query_kmers"),
+        F.sum(F.col("in_corpus").isNotNull().cast("long")).cast("long").alias("n_seen"),
+        F.coalesce(
+            F.min(F.when(F.col("in_corpus").isNotNull(), F.col("might_contain"))),
+            F.lit(True),
+        ).alias("bloom_zero_fn"),
+    )
+
+
 def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle derivation parity — counts per document (k-mer analog)."""
     from bloomfilter_multithread_spark.functions.shingles import explode_shingles
@@ -929,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
+        "rolled_kmer_seen": _q_rolled_kmer_seen,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
@@ -1227,5 +1281,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_shingles,
                    COUNT(DISTINCT shingle) AS n_distinct_shingles
             FROM sh GROUP BY doc_id
+        """,
+        "rolled_kmer_seen": """
+            WITH corpus AS (
+                SELECT DISTINCT substr(d.text, i, 16) AS kmer
+                FROM documents d,
+                     UNNEST(generate_series(1, greatest(len(d.text) - 15, 0))) AS g(i)
+                WHERE d.doc_id % 2 = 0
+            ),
+            q AS (
+                SELECT DISTINCT d.doc_id, substr(substr(d.text, 1, 60), i, 16) AS kmer
+                FROM documents d,
+                     UNNEST(generate_series(1,
+                         greatest(least(len(d.text), 60) - 15, 0))) AS g(i)
+            )
+            SELECT q.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_query_kmers,
+                   CAST(SUM(CASE WHEN c.kmer IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_seen,
+                   TRUE AS bloom_zero_fn
+            FROM q LEFT JOIN corpus c USING (kmer)
+            GROUP BY q.doc_id
         """,
     }

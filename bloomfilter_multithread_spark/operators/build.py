@@ -306,7 +306,7 @@ def _cached_from_bytes(token: str, blob: bytes) -> MergeableSketch:
 
 
 def with_might_contain(df: DataFrame, key: str | Column, sketch, out_col: str = "might_contain",
-                       ) -> DataFrame:
+                       pre_hashed: bool = False) -> DataFrame:
     """Broadcast-probe: adds a boolean column testing key membership in a
     merged Bloom sketch — the analog of the reference query phase
     (SkmerSplitter.cpp:91-151) and of Spark's own runtime
@@ -329,7 +329,12 @@ def with_might_contain(df: DataFrame, key: str | Column, sketch, out_col: str = 
         return pd.Series(sk.probe_hashes(h.to_numpy(dtype=np.int64, na_value=0)))
 
     key_col = F.expr(key) if isinstance(key, str) else key
-    return df.withColumn(out_col, probe(F.xxhash64(key_col)))
+    # pre_hashed: the column already carries the 64-bit key hash (e.g.
+    # the rolled k-mer kernel) — must match the build side's
+    # SketchSpec(..., pre_hashed=True) so both run the identical hash
+    if not pre_hashed:
+        key_col = F.xxhash64(key_col)
+    return df.withColumn(out_col, probe(key_col))
 
 
 def with_cms_estimate(df: DataFrame, key: str | Column, sketch, out_col: str = "cms_estimate",

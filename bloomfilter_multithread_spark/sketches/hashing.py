@@ -83,6 +83,80 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+# ----------------------------------------------------- rolling k-mer hash
+# The literal form of the reference's P3: ntHash seeds the first m-mer
+# and then ROLLS in O(1) per character (NTC64(out, in, m, fh, rh) at
+# /root/reference/src/SkmerExtractor.cpp:65-74,104) instead of rehashing
+# each k-mer whole (O(k) per position). Re-expressed as a polynomial
+# rolling hash, VECTORIZED over all positions at once via modular prefix
+# sums — total work O(n) per sequence, a constant number of numpy passes:
+#
+#   H(i) = sum_{j<k} s[i+j] * B^j          (mod 2^64)
+#        = (prefix[i+k] - prefix[i]) * B^{-i}
+#
+# with prefix[i] = sum_{j<i} s[j] * B^j. B is odd, so B^{-1} exists mod
+# 2^64 and both power tables come from wraparound cumprods. A splitmix64
+# finalizer decorrelates the raw polynomial values for Bloom indexing.
+
+ROLL_BASE = 0x100000001B3  # FNV-1a 64 prime (odd, public constant)
+_ROLL_BASE_INV = pow(ROLL_BASE, -1, 1 << 64)
+
+
+def rolling_kmer_hashes(seq: bytes | str | np.ndarray, k: int,
+                        mix: bool = True) -> np.ndarray:
+    """All ``len(seq)-k+1`` k-mer hashes of one sequence, O(n) total.
+
+    Returns uint64 (n-k+1,). Position-independent: the hash of a k-mer
+    depends only on its characters, so build and probe agree wherever
+    the k-mer occurs (the reference's correctness keystone). Property-
+    tested equal to per-position whole-k-mer rehash AND to the
+    sequential O(1) roll recurrence in tests/test_rolling_hash.py."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    if isinstance(seq, (bytes, bytearray)):
+        a = np.frombuffer(bytes(seq), dtype=np.uint8)
+    else:
+        a = np.asarray(seq, dtype=np.uint8)
+    n = a.size
+    if n < k or k <= 0:
+        return np.empty(0, dtype=_U64)
+    npos = n - k + 1
+    with np.errstate(over="ignore"):
+        pows = np.empty(n, dtype=_U64)
+        pows[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, ROLL_BASE, dtype=_U64), out=pows[1:])
+        prefix = np.empty(n + 1, dtype=_U64)
+        prefix[0] = 0
+        np.cumsum(a.astype(_U64) * pows, out=prefix[1:])
+        invpows = np.empty(npos, dtype=_U64)
+        invpows[0] = 1
+        if npos > 1:
+            np.cumprod(np.full(npos - 1, _ROLL_BASE_INV, dtype=_U64), out=invpows[1:])
+        h = (prefix[k : k + npos] - prefix[:npos]) * invpows
+    return splitmix64(h) if mix else h
+
+
+def rolling_kmer_hashes_naive(seq: bytes | str, k: int, mix: bool = True) -> np.ndarray:
+    """O(n*k) per-position whole-k-mer rehash of the SAME polynomial —
+    the comparison baseline (what re-hashing every k-mer whole costs)
+    and the parity oracle for the O(n) kernel."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    a = np.frombuffer(bytes(seq), dtype=np.uint8)
+    n = a.size
+    if n < k or k <= 0:
+        return np.empty(0, dtype=_U64)
+    win = np.lib.stride_tricks.sliding_window_view(a, k).astype(_U64)
+    with np.errstate(over="ignore"):
+        pows = np.empty(k, dtype=_U64)
+        pows[0] = 1
+        if k > 1:
+            np.cumprod(np.full(k - 1, ROLL_BASE, dtype=_U64), out=pows[1:])
+        h = (win * pows).sum(axis=1, dtype=_U64)
+    return splitmix64(h) if mix else h
+
+
 def to_u64(h) -> np.ndarray:
     """View/convert an int64-ish array (e.g. Spark xxhash64 output) as uint64."""
     a = np.asarray(h)

@@ -30,6 +30,7 @@ query k-mer probes present in the corpus Bloom (the all-ones answer,
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,3 +96,39 @@ def explode_kmers(df: DataFrame, seq_col: str = "sequence", k: int = 31,
     if canonical:
         out = out.withColumn(out_col, canonical_kmer(out_col))
     return out
+
+
+def rolled_kmer_hashes(df: DataFrame, seq_col: str = "sequence", k: int = 31,
+                       out_col: str = "kmer_hash", with_pos: bool = False,
+                       pos_col: str = "kmer_pos") -> DataFrame:
+    """Pre-hashed k-mer producer via the O(1)-roll polynomial kernel —
+    the literal form of the reference's per-char ntHash roll
+    (/root/reference/src/SkmerExtractor.cpp:65-74,104), replacing the
+    whole-k-mer rehash route (explode_kmers + JVM xxhash64, O(k) per
+    position) with O(n) total per sequence.
+
+    One row per k-mer with ``out_col: long`` carrying the 64-bit hash,
+    ready for ``SketchSpec(..., pre_hashed=True)`` builds. The pandas UDF
+    loops over SEQUENCE rows (few, long — one genome/contig each, the
+    wholetext read unit) while the per-position work inside each row is
+    fully vectorized numpy; this is the sanctioned Arrow-batch shape, not
+    per-k-mer Python. Build and probe run the identical kernel, so the
+    same k-mer hashes to the same value on both sides (the reference's
+    correctness keystone)."""
+    import pandas as pd
+
+    from bloomfilter_multithread_spark.sketches.hashing import rolling_kmer_hashes
+
+    @F.pandas_udf("array<long>")
+    def roll(seqs):
+        return pd.Series(
+            [rolling_kmer_hashes(s or "", k).astype(np.int64) for s in seqs],
+            dtype=object,
+        )
+
+    if with_pos:
+        # 0-based window start alongside each hash (posexplode) — lets
+        # callers re-derive the k-mer STRING via substring(seq, pos+1, k)
+        # for exact-confirm joins
+        return df.select("*", F.posexplode(roll(F.col(seq_col))).alias(pos_col, out_col))
+    return df.select("*", F.explode(roll(F.col(seq_col))).alias(out_col))
