@@ -206,6 +206,20 @@ def shingle_bloom_job(spark, cores: int, trials: int = SCALE_TRIALS,
     return turns, n_shingles, times
 
 
+def _build_worker(cores: int) -> None:
+    """Fresh-JVM transcript-build measurement. The headline build runs in
+    its own subprocess because measuring it inside the query-phase JVM
+    under-reports it: after the 33 contract queries the shared JVM's
+    accumulated broadcasts/GC/code-cache state slowed the identical job
+    17 s -> 22-29 s (measured round 3). A production build job is its own
+    Spark application; measure it like one."""
+    spark = _session(cores)
+    turns, dt = transcript_build_job(spark, cores)
+    spark.stop()
+    print(json.dumps({"turns": turns, "sec": round(dt, 3),
+                      "tps": round(turns / dt, 1)}))
+
+
 def _scale_worker(cores: int) -> None:
     # fixed shuffle partitioning too (same decomposition at every level)
     from bloomfilter_multithread_spark.sources.io import get_spark
@@ -262,11 +276,17 @@ def main() -> None:
     li_sec = time.time() - t0
     results["sketch_build_lineitem"] = round(li_sec, 3)
 
-    turns, t_big = transcript_build_job(spark, CPUS)
+    spark.stop()
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--build-worker", str(CPUS)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    build = json.loads(line)
+    turns, t_big = build["turns"], build["sec"]
     results["sketch_build_transcripts"] = round(t_big, 3)
     tps_big = turns / t_big
 
-    spark.stop()
     scaling = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         # Sandbox protocol (BASELINE.md / BENCH.md §2): report BOTH N->4N
@@ -342,5 +362,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-worker":
         _scale_worker(int(sys.argv[2]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--build-worker":
+        _build_worker(int(sys.argv[2]))
     else:
         main()
