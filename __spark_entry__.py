@@ -327,6 +327,70 @@ def _q_bloom_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / THETA-sketch set algebra — the estimator-quality upgrade
+    over ``hll_setops``: intersection AND difference are estimated from
+    the theta-samples directly (|S ∩ sample| / theta), so the error
+    concentrates on the RESULT's sample count instead of being additive
+    in |A ∪ B| (HLL's inclusion–exclusion caveat), and A \\ B — which
+    HLL algebra cannot form at all — gets a first-class estimate.
+
+    A = orderkeys of finished (``o_orderstatus = 'F'``) orders,
+    B = orderkeys with a returned (``l_returnflag = 'R'``) lineitem.
+    k = 256 < |A|, |B| at every test SF, so the sketch runs in true
+    order-statistics estimation mode (saturation is part of the gate via
+    ``estimation_mode``), not the trivial exact mode.  ONE aggregate
+    pass over the keyed union computes the exact cardinalities; the
+    estimates ride as literals with 5-sigma binomial bounds
+    (``KMVSketch.setop_error_bound``)."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    k = 256
+    a_df = (_read(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_orderkey").alias("key")).distinct())
+    b_df = (_read(spark, sf_dir, "lineitem")
+            .where(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("key")).distinct())
+    spec = lambda: [SketchSpec("k", "kmv", "key", {"k": k})]  # noqa: E731
+    ka = build_sketches(a_df, spec())["k"]
+    kb = build_sketches(b_df, spec())["k"]
+    est_a, est_b = ka.estimate(), kb.estimate()
+    est_u = ka.estimate_union(kb)
+    est_i = ka.estimate_intersection(kb)
+    est_d = ka.estimate_difference(kb)
+    rel = ka.rel_error_bound()
+    sig_i = ka.setop_error_bound(kb, est_i)
+    sig_d = ka.setop_error_bound(kb, est_d)
+
+    per_key = (
+        a_df.withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .unionByName(b_df.withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1)))
+        .groupBy("key")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    u = F.col("exact_union")
+    i = F.col("exact_intersection")
+    return per_key.agg(
+        F.sum("in_a").cast("long").alias("exact_a"),
+        F.sum("in_b").cast("long").alias("exact_b"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_intersection"),
+    ).select(
+        "exact_a", "exact_b", "exact_union", "exact_intersection",
+        (F.col("exact_a") - i).cast("long").alias("exact_difference"),
+        F.lit(ka.saturated and kb.saturated).alias("estimation_mode"),
+        (F.abs(F.lit(est_a) - F.col("exact_a")) <= F.lit(5 * rel) * F.col("exact_a"))
+        .alias("a_within_bound"),
+        (F.abs(F.lit(est_b) - F.col("exact_b")) <= F.lit(5 * rel) * F.col("exact_b"))
+        .alias("b_within_bound"),
+        (F.abs(F.lit(est_u) - u) <= F.lit(5 * rel) * u).alias("union_within_bound"),
+        (F.abs(F.lit(est_i) - i) <= F.lit(5 * sig_i + 2)).alias("intersection_within_bound"),
+        (F.abs(F.lit(est_d) - (F.col("exact_a") - i)) <= F.lit(5 * sig_d + 2))
+        .alias("difference_within_bound"),
+    )
+
+
 def _q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min INNER PRODUCT (Cormode–Muthukrishnan §4.2): the
     equi-join size of the click stream and the view stream on user_id,
@@ -977,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_users": _q_cms_heavy_users,
         "cms_join_size": _q_cms_join_size,
         "bloom_setops": _q_bloom_setops,
+        "kmv_setops": _q_kmv_setops,
         "kll_quantiles": _q_kll_quantiles,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "dedup_exact": _q_dedup_exact,
@@ -1234,6 +1299,31 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS and_fpr_within_bound,
                    TRUE AS union_card_within_bound,
                    TRUE AS intersection_card_within_bound
+            FROM per_key
+        """,
+        "kmv_setops": """
+            WITH a AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                       WHERE o_orderstatus = 'F'),
+            b AS (SELECT DISTINCT l_orderkey AS key FROM lineitem
+                  WHERE l_returnflag = 'R'),
+            per_key AS (
+                SELECT key, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+                FROM (SELECT key, 1 AS in_a, 0 AS in_b FROM a
+                      UNION ALL
+                      SELECT key, 0 AS in_a, 1 AS in_b FROM b) t
+                GROUP BY key
+            )
+            SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+                   CAST(SUM(in_b) AS BIGINT) AS exact_b,
+                   CAST(COUNT(*) AS BIGINT) AS exact_union,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS exact_intersection,
+                   CAST(SUM(in_a) - SUM(in_a * in_b) AS BIGINT) AS exact_difference,
+                   TRUE AS estimation_mode,
+                   TRUE AS a_within_bound,
+                   TRUE AS b_within_bound,
+                   TRUE AS union_within_bound,
+                   TRUE AS intersection_within_bound,
+                   TRUE AS difference_within_bound
             FROM per_key
         """,
         "hll_setops": """

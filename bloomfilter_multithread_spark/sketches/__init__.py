@@ -6,6 +6,7 @@ from .cms import CMSSketch
 from .hashing import double_hash_indices, splitmix64, to_u64, xorshift32_batch, xorshift32_scalar
 from .hll import HLLSketch
 from .kll import KLLSketch
+from .kmv import KMVSketch
 from .tdigest import TDigestSketch
 
 __all__ = [
@@ -18,6 +19,7 @@ __all__ = [
     "CMSSketch",
     "HLLSketch",
     "KLLSketch",
+    "KMVSketch",
     "TDigestSketch",
     "double_hash_indices",
     "splitmix64",

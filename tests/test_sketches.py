@@ -378,3 +378,94 @@ def test_cms_inner_product_overestimates_within_bound():
     ca1 = CMSSketch.create(width=1 << 12, depth=5).update_hashes(keys[:250], counts=fa[:250])
     ca2 = CMSSketch.create(width=1 << 12, depth=5).update_hashes(keys[250:], counts=fa[250:])
     assert ca1.merge(ca2).estimate_inner_product(cb) == est
+
+
+# ---------------------------------------------------------------- kmv
+class TestKMV:
+    """KMV / theta sketch: exact mode, unbiased saturated estimator,
+    min-wise merge laws (bit-exact), theta set algebra (union /
+    intersection / DIFFERENCE — the op HLL algebra can't form), and
+    serde. Hash inputs are splitmix64 of sequential ids: uniform over
+    the full 64-bit range, exactly like the JVM xxhash64 production
+    path (KMV's order-statistics estimator assumes hash uniformity)."""
+
+    K = 256
+
+    def _planted(self):
+        from bloomfilter_multithread_spark.sketches.hashing import splitmix64
+
+        h = splitmix64(np.arange(20_000, dtype=np.uint64))
+        a = h[:5_000]                                   # |A| = 5000
+        b = np.concatenate([h[3_000:5_000], h[5_000:16_000]])  # |B| = 13000, overlap 2000
+        return a, b
+
+    def test_exact_mode_below_k(self):
+        from bloomfilter_multithread_spark.sketches import KMVSketch
+
+        s = KMVSketch.create(k=self.K).update_hashes(_hashes(100, seed=3))
+        assert s.theta == 1.0 and s.estimate() == 100.0
+        # duplicates must not inflate (min-wise set semantics)
+        s.update_hashes(_hashes(100, seed=3))
+        assert s.estimate() == 100.0
+
+    def test_saturated_estimate_within_bound(self):
+        from bloomfilter_multithread_spark.sketches import KMVSketch
+
+        a, _ = self._planted()
+        s = KMVSketch.create(k=self.K).update_hashes(a)
+        assert s.saturated and 0 < s.theta < 1
+        assert abs(s.estimate() - 5_000) <= 4 * s.rel_error_bound() * 5_000
+
+    def test_merge_laws_bit_exact(self):
+        from bloomfilter_multithread_spark.sketches import KMVSketch
+
+        a, b = self._planted()
+        whole = KMVSketch.create(k=self.K).update_hashes(np.concatenate([a, b]))
+        parts = [KMVSketch.create(k=self.K).update_hashes(p)
+                 for p in np.array_split(np.concatenate([a, b]), 7)]
+        assert np.array_equal(merge_all([s.copy() for s in parts]).values, whole.values)
+        # commutativity + idempotence of the min-wise union
+        ab = parts[0].copy().merge(parts[1])
+        ba = parts[1].copy().merge(parts[0])
+        assert np.array_equal(ab.values, ba.values)
+        assert np.array_equal(ab.copy().merge(ab).values, ab.values)
+
+    def test_set_algebra_within_bounds(self):
+        from bloomfilter_multithread_spark.sketches import KMVSketch
+
+        a, b = self._planted()
+        ka = KMVSketch.create(k=self.K).update_hashes(a)
+        kb = KMVSketch.create(k=self.K).update_hashes(b)
+        va, vb = ka.values.copy(), kb.values.copy()
+        rel = ka.rel_error_bound()
+        assert abs(ka.estimate_union(kb) - 16_000) <= 4 * rel * 16_000
+        ei = ka.estimate_intersection(kb)
+        ed = ka.estimate_difference(kb)
+        assert abs(ei - 2_000) <= 4 * ka.setop_error_bound(kb, ei) + 2
+        assert abs(ed - 3_000) <= 4 * ka.setop_error_bound(kb, ed) + 2
+        # identity consistency: inter + diff == |sample_below_theta|/theta
+        theta, samp = ka._common_theta_samples(kb)
+        assert ei + ed == pytest.approx(samp.size / theta)
+        # operands untouched by the algebra
+        assert np.array_equal(ka.values, va) and np.array_equal(kb.values, vb)
+
+    def test_exact_mode_set_algebra_is_exact(self):
+        from bloomfilter_multithread_spark.sketches import KMVSketch
+
+        h = _hashes(300, seed=9)
+        ka = KMVSketch.create(k=1024).update_hashes(h[:200])
+        kb = KMVSketch.create(k=1024).update_hashes(h[100:])
+        assert ka.estimate_intersection(kb) == 100.0
+        assert ka.estimate_difference(kb) == 100.0
+        assert ka.estimate_union(kb) == 300.0
+
+    def test_serde_roundtrip_and_param_mismatch(self):
+        from bloomfilter_multithread_spark.sketches import KMVSketch
+
+        a, _ = self._planted()
+        s = KMVSketch.create(k=self.K).update_hashes(a)
+        rt = MergeableSketch.from_bytes(s.to_bytes())
+        assert isinstance(rt, KMVSketch) and rt.k == s.k
+        assert np.array_equal(rt.values, s.values)
+        with pytest.raises(ValueError, match="k mismatch"):
+            s.merge(KMVSketch.create(k=512))

@@ -67,12 +67,14 @@ class TestBuildMergeProbe:
             SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 4}),
             SketchSpec("h", "hll", "conv_id", {"p": 12}),
             SketchSpec("c", "cms", "role", {"width": 1 << 10, "depth": 4}),
+            SketchSpec("k", "kmv", "text", {"k": 128}),
         ]
         s2 = build_sketches(corpus.repartition(2), specs)
         s32 = build_sketches(corpus.repartition(32), specs)
         assert np.array_equal(s2["b"].bits, s32["b"].bits)
         assert np.array_equal(s2["h"].registers, s32["h"].registers)
         assert np.array_equal(s2["c"].table, s32["c"].table)
+        assert np.array_equal(s2["k"].values, s32["k"].values)
 
     def test_salted_repartition_invariance(self, spark, corpus):
         specs = [SketchSpec("b", "bloom", "conv_id", {"m_bits": 1 << 18, "k": 4})]
@@ -84,6 +86,16 @@ class TestBuildMergeProbe:
         exact = corpus.select("conv_id").distinct().count()
         est = built["hll_conv"].estimate()
         assert abs(est - exact) / exact < 4 * built["hll_conv"].rel_error_bound()
+
+    def test_kmv_vs_exact_distinct(self, spark, corpus):
+        """KMV through the full Spark build path (JVM xxhash64 → mapInArrow
+        partials → min-wise merge) estimates distinct texts within bound;
+        saturation is asserted so the test exercises the order-statistics
+        estimator, not the trivial exact mode."""
+        k = build_sketches(corpus, [SketchSpec("k", "kmv", "text", {"k": 256})])["k"]
+        exact = corpus.select("text").distinct().count()
+        assert k.saturated
+        assert abs(k.estimate() - exact) / exact < 4 * k.rel_error_bound()
 
     def test_cms_vs_exact_counts(self, spark, corpus, built):
         exact = {r["role"]: r["n"] for r in corpus.groupBy("role").count().withColumnRenamed("count", "n").collect()}
