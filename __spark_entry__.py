@@ -652,6 +652,65 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic hash sampling (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample of documents by doc_id — a stateless
+    map-side filter on an md5-prefix bucket of the key value (no shuffle,
+    no RNG state; invariant under partitioning / task retry / AQE —
+    tests/test_sampling.py).  Row-level membership AND the bucket values
+    are pinned by the oracle, not just the count."""
+    from bloomfilter_multithread_spark.operators.sampling import hash_bucket, hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2, seed="s1").select(
+        "doc_id", hash_bucket("doc_id", seed="s1").alias("bucket")
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling fractions (per-source quotas / class
+    rebalancing) as one codegen'd CASE threshold over the same
+    deterministic buckets; gated on the per-type sampled counts."""
+    from bloomfilter_multithread_spark.operators.sampling import stratified_hash_sample
+
+    ev = _read(spark, sf_dir, "events")
+    s = stratified_hash_sample(
+        ev, "event_id", "event_type",
+        {"click": 0.5, "view": 0.25, "error": 0.05}, seed="st",
+    )
+    return s.groupBy("event_type").agg(F.count("*").cast("long").alias("n_sampled"))
+
+
+def _q_consistent_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated sampling witness: sampling BOTH sides of a join by the
+    join key at the same (seed, fraction) and then joining gives exactly
+    the sample of the join — the property that makes hash sampling safe
+    for building joined training subsets at 100 TB (each side is filtered
+    map-side BEFORE the join, so the sampled join shuffles fraction^2 of
+    the pairs).  The equality boolean is COMPUTED on both engines, not a
+    pinned literal."""
+    from bloomfilter_multithread_spark.operators.sampling import hash_sample
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    so = hash_sample(orders, "o_custkey", 0.3, seed="j")
+    sc = hash_sample(cust, "c_custkey", 0.3, seed="j")
+    join_of_samples = so.join(sc, so.o_custkey == sc.c_custkey).agg(
+        F.count("*").cast("long").alias("n_join_of_samples")
+    )
+    sample_of_join = hash_sample(
+        orders.join(cust, orders.o_custkey == cust.c_custkey), "o_custkey", 0.3, seed="j"
+    ).agg(F.count("*").cast("long").alias("n_sample_of_join"))
+    return join_of_samples.crossJoin(sample_of_join).select(
+        "n_join_of_samples", "n_sample_of_join",
+        (F.col("n_join_of_samples") == F.col("n_sample_of_join")).alias("consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing (media derived deterministically from documents)
 # --------------------------------------------------------------------------
 
@@ -1056,6 +1115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "lang_quality": _q_lang_quality,
         "fingerprint": _q_fingerprint,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "consistent_sample_join": _q_consistent_sample_join,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
         "transcript_seen_text": _q_transcript_seen_text,
@@ -1084,12 +1146,17 @@ def oracle_sql() -> dict[str, str]:
         duckdb_recall_sql,
         duckdb_topk_sql,
     )
+    from bloomfilter_multithread_spark.operators.sampling import duckdb_hash_bucket_sql
     from bloomfilter_multithread_spark.operators.textstats import (
         duckdb_lang_id,
         duckdb_quality_bp,
     )
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
+    doc_bucket = duckdb_hash_bucket_sql("doc_id", seed="s1")
+    ev_bucket = duckdb_hash_bucket_sql("event_id", seed="st")
+    key_bucket = duckdb_hash_bucket_sql("o_custkey", seed="j")
+    cust_bucket = duckdb_hash_bucket_sql("c_custkey", seed="j")
     jacc = duckdb_jaccard_pairs_sql("documents", "doc_id", "text", 5, 0.8)
     # the planted near-dup fixture (mirror of _planted_neardup_embeddings)
     planted_cte = """
@@ -1300,6 +1367,33 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS union_card_within_bound,
                    TRUE AS intersection_card_within_bound
             FROM per_key
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, {doc_bucket} AS bucket
+            FROM documents
+            WHERE {doc_bucket} < 200000
+        """,
+        "stratified_sample": f"""
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+            FROM events
+            WHERE {ev_bucket} < CASE event_type
+                                    WHEN 'click' THEN 500000
+                                    WHEN 'view' THEN 250000
+                                    WHEN 'error' THEN 50000
+                                    ELSE 0 END
+            GROUP BY event_type
+        """,
+        "consistent_sample_join": f"""
+            WITH so AS (SELECT * FROM orders WHERE {key_bucket} < 300000),
+            sc AS (SELECT * FROM customer WHERE {cust_bucket} < 300000),
+            j1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_join_of_samples
+                   FROM so JOIN sc ON o_custkey = c_custkey),
+            j2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample_of_join
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                   WHERE {key_bucket} < 300000)
+            SELECT n_join_of_samples, n_sample_of_join,
+                   n_join_of_samples = n_sample_of_join AS consistent
+            FROM j1, j2
         """,
         "kmv_setops": """
             WITH a AS (SELECT DISTINCT o_orderkey AS key FROM orders

@@ -1,0 +1,80 @@
+"""Deterministic hash-based sampling — the 100 TB sampling path.
+
+A training-data pipeline samples constantly (eval holdouts, ablation
+subsets, per-source quotas, debugging slices).  At cluster scale the
+sampling operator must be:
+
+- **stateless and shuffle-free**: a map-side filter fused into the scan
+  (whole-stage codegen, predicate on a hash of the row's own key) — no
+  RNG state, no exchange, no driver coordination;
+- **retry/replan-safe**: Spark's ``df.sample`` draws from a per-partition
+  RNG seeded by the partition index, so its output changes under task
+  retry, AQE re-coalescing, or a different input split — a hash of the
+  KEY VALUE is invariant to all of those;
+- **coordinated**: the same key hashes identically everywhere, so
+  sampling two tables by their join key keeps the join intact
+  (sample-then-join == join-then-sample, gated by the
+  ``consistent_sample_join`` contract query), and re-running a month
+  later extends the same sample instead of drawing a fresh one;
+- **cross-engine mirrorable**: the bucket function is the md5-prefix
+  integer (``dedup.md5_hash_col`` idiom), which DuckDB reproduces
+  bit-exactly — so the contract oracle pins row-level sample membership,
+  not just counts.
+
+Reference context: the reference engine has no sampling surface at all
+(/root/reference/src — scan → extract → filter build/probe only); this
+module is part of the LLM-pipeline companion surface (SURVEY.md §2's
+"beyond the reference" families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash_col
+
+BUCKETS = 1_000_000  # ppm resolution: fraction quantum 1e-6
+
+
+def hash_bucket(col: Column | str, seed: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from the VALUE of ``col``
+    (cast to string) salted with ``seed``.  Distinct seeds give
+    independent samples; the same seed gives the same sample anywhere —
+    any engine, any partitioning, any retry."""
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_hash_col(F.concat(c.cast("string"), F.lit(seed))) % F.lit(buckets)
+
+
+def duckdb_hash_bucket_sql(expr: str, seed: str = "", buckets: int = BUCKETS) -> str:
+    """Exact DuckDB mirror of :func:`hash_bucket` for oracle SQL."""
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR) || '{seed}'), 1, 8))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def hash_sample(df: DataFrame, key: Column | str, fraction: float,
+                seed: str = "", buckets: int = BUCKETS) -> DataFrame:
+    """Keep rows whose key-bucket falls below ``fraction`` — a pure
+    map-side filter (no shuffle, no state; the plan is scan+filter in one
+    codegen stage, asserted in tests/test_sampling.py)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction in [0, 1]")
+    return df.where(hash_bucket(key, seed, buckets) < F.lit(int(round(fraction * buckets))))
+
+
+def stratified_hash_sample(df: DataFrame, key: Column | str, strata: Column | str,
+                           fractions: dict[str, float], default: float = 0.0,
+                           seed: str = "", buckets: int = BUCKETS) -> DataFrame:
+    """Per-stratum sampling fractions (per-source quotas, class
+    rebalancing) as ONE codegen'd CASE threshold — still a stateless
+    map-side filter, still deterministic per key."""
+    for frac in fractions.values():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError("fractions in [0, 1]")
+    s = F.col(strata) if isinstance(strata, str) else strata
+    thresh = F.lit(int(round(default * buckets)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(s == F.lit(value), F.lit(int(round(frac * buckets)))).otherwise(thresh)
+    return df.where(hash_bucket(key, seed, buckets) < thresh)

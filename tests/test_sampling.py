@@ -1,0 +1,135 @@
+"""Deterministic hash sampling (operators/sampling.py): partitioning /
+retry invariance, fraction accuracy, sample-join consistency (the
+coordinated-sampling property), stratified thresholds, and the
+shuffle-free plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloomfilter_multithread_spark.operators.sampling import (
+    BUCKETS,
+    duckdb_hash_bucket_sql,
+    hash_bucket,
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[0] for r in df.select(col).collect())
+
+
+class TestHashSample:
+    def test_partitioning_and_rerun_invariance(self, docs):
+        """The sample is a function of key VALUES only — identical under
+        any partition count (the stand-in for task retry / AQE replan,
+        where df.sample's partition-seeded RNG would drift)."""
+        a = _ids(hash_sample(docs.repartition(2), "doc_id", 0.2, seed="s1"))
+        b = _ids(hash_sample(docs.repartition(16), "doc_id", 0.2, seed="s1"))
+        c = _ids(hash_sample(docs, "doc_id", 0.2, seed="s1"))
+        assert a == b == c and len(a) > 0
+
+    def test_fraction_accuracy(self, docs):
+        n = docs.count()
+        got = hash_sample(docs, "doc_id", 0.2, seed="s1").count()
+        sigma = math.sqrt(0.2 * 0.8 / n)
+        assert abs(got / n - 0.2) <= 4 * sigma
+
+    def test_seeds_give_different_samples(self, docs):
+        a = set(_ids(hash_sample(docs, "doc_id", 0.2, seed="s1")))
+        b = set(_ids(hash_sample(docs, "doc_id", 0.2, seed="s2")))
+        assert a != b
+
+    def test_nested_fractions(self, docs):
+        """Same seed, smaller fraction ⇒ subset — lets a pipeline grow a
+        sample (1% → 10%) without redrawing what it already processed."""
+        small = set(_ids(hash_sample(docs, "doc_id", 0.05, seed="s1")))
+        big = set(_ids(hash_sample(docs, "doc_id", 0.3, seed="s1")))
+        assert small <= big
+
+    def test_sample_join_consistency(self, spark, sf_dir):
+        """Coordinated sampling: sampling BOTH sides of a join by the join
+        key at the same (seed, fraction), then joining, equals sampling
+        the join — no key's pair is ever half-dropped."""
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        so = hash_sample(orders, "o_custkey", 0.3, seed="j")
+        sc = hash_sample(cust, "c_custkey", 0.3, seed="j")
+        join_of_samples = so.join(sc, so.o_custkey == sc.c_custkey).count()
+        sample_of_join = hash_sample(
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
+            "o_custkey", 0.3, seed="j",
+        ).count()
+        assert join_of_samples == sample_of_join > 0
+
+    def test_plan_is_shuffle_free_single_stage(self, spark, sf_dir):
+        fresh = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = hash_sample(fresh, "doc_id", 0.2)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # '*(1) Filter' = the filter fused into whole-stage-codegen stage 1,
+        # directly over the file scan
+        assert "*(1) Filter" in plan and "FileScan parquet" in plan
+
+    def test_bad_fraction_raises(self, docs):
+        with pytest.raises(ValueError, match="fraction"):
+            hash_sample(docs, "doc_id", 1.5)
+
+
+class TestStratifiedSample:
+    FR = {"click": 0.5, "view": 0.25, "error": 0.05}
+
+    def test_per_stratum_matches_plain_sample(self, events):
+        """Each stratum's rows are exactly the plain hash_sample of that
+        stratum at its own fraction (same seed ⇒ same buckets)."""
+        s = stratified_hash_sample(events, "event_id", "event_type", self.FR, seed="st")
+        for etype, frac in self.FR.items():
+            got = _ids(s.where(F.col("event_type") == etype), "event_id")
+            want = _ids(
+                hash_sample(events.where(F.col("event_type") == etype),
+                            "event_id", frac, seed="st"), "event_id")
+            assert got == want
+
+    def test_default_zero_drops_unlisted_strata(self, events):
+        s = stratified_hash_sample(events, "event_id", "event_type", self.FR, seed="st")
+        kept = {r[0] for r in s.select("event_type").distinct().collect()}
+        assert kept <= set(self.FR)
+
+    def test_default_fraction_applies(self, events):
+        s = stratified_hash_sample(events, "event_id", "event_type", self.FR,
+                                   default=1.0, seed="st")
+        n_unlisted = s.where(~F.col("event_type").isin(*self.FR)).count()
+        exact = events.where(~F.col("event_type").isin(*self.FR)).count()
+        assert n_unlisted == exact > 0
+
+
+def test_duckdb_bucket_mirror_is_bit_exact(docs, sf_dir):
+    """The whole contract-oracle story rests on Spark and DuckDB agreeing
+    on every bucket value — check all of them, not a sample."""
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["b"]
+        for r in docs.select("doc_id", hash_bucket("doc_id", seed="x").alias("b")).collect()
+    }
+    con = duckdb.connect()
+    rel = con.sql(
+        f"SELECT doc_id, {duckdb_hash_bucket_sql('doc_id', seed='x')} AS b "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict(rel.fetchall())
+    assert got == want and len(got) > 0
+    assert all(0 <= b < BUCKETS for b in got.values())
