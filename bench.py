@@ -209,7 +209,7 @@ def shingle_bloom_job(spark, cores: int, trials: int = SCALE_TRIALS,
 def _build_worker(cores: int) -> None:
     """Fresh-JVM transcript-build measurement. The headline build runs in
     its own subprocess because measuring it inside the query-phase JVM
-    under-reports it: after the 33 contract queries the shared JVM's
+    under-reports it: after the full contract-query sweep the shared JVM's
     accumulated broadcasts/GC/code-cache state slowed the identical job
     17 s -> 22-29 s (measured round 3). A production build job is its own
     Spark application; measure it like one."""
