@@ -684,6 +684,21 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("event_type").agg(F.count("*").cast("long").alias("n_sampled"))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson sampling with inclusion probability
+    ``min(1, n_chars/400)`` — sample ∝ document length (stand-in for any
+    quality/weight column), rows past the cap kept with certainty.  The
+    threshold arithmetic (``floor(n_chars * 2500.0)`` against the ppm
+    bucket) is integer-exact on both engines, so row membership is
+    oracle-pinned."""
+    from bloomfilter_multithread_spark.operators.sampling import weighted_hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_hash_sample(docs, "doc_id", "n_chars", 1 / 400, seed="w").select(
+        "doc_id", "n_chars"
+    )
+
+
 def _q_consistent_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coordinated sampling witness: sampling BOTH sides of a join by the
     join key at the same (seed, fraction) and then joining gives exactly
@@ -1117,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
         "consistent_sample_join": _q_consistent_sample_join,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -1154,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
     doc_bucket = duckdb_hash_bucket_sql("doc_id", seed="s1")
+    wdoc_bucket = duckdb_hash_bucket_sql("doc_id", seed="w")
     ev_bucket = duckdb_hash_bucket_sql("event_id", seed="st")
     key_bucket = duckdb_hash_bucket_sql("o_custkey", seed="j")
     cust_bucket = duckdb_hash_bucket_sql("c_custkey", seed="j")
@@ -1372,6 +1389,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {doc_bucket} AS bucket
             FROM documents
             WHERE {doc_bucket} < 200000
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE {wdoc_bucket} < LEAST(1000000,
+                CAST(FLOOR(CAST(n_chars AS DOUBLE) * 2500.0) AS BIGINT))
         """,
         "stratified_sample": f"""
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled

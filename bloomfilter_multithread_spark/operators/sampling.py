@@ -64,6 +64,25 @@ def hash_sample(df: DataFrame, key: Column | str, fraction: float,
     return df.where(hash_bucket(key, seed, buckets) < F.lit(int(round(fraction * buckets))))
 
 
+def weighted_hash_sample(df: DataFrame, key: Column | str, weight: Column | str,
+                         rate: float, seed: str = "", buckets: int = BUCKETS) -> DataFrame:
+    """Deterministic Poisson (Bernoulli-per-row) sampling with inclusion
+    probability ``min(1, weight * rate)`` — sample ∝ quality score /
+    document length / dedup-cluster size, the standard weighted-subset
+    primitive for training-data curation.  Still a stateless map-side
+    filter on the same md5 bucket: the threshold just becomes a per-row
+    expression of the weight column.  Rows with weight ≥ 1/rate are kept
+    with certainty (threshold capped at ``buckets``)."""
+    if rate < 0:
+        raise ValueError("rate >= 0")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    thresh = F.least(
+        F.lit(buckets).cast("long"),
+        F.floor(w.cast("double") * F.lit(float(rate) * buckets)).cast("long"),
+    )
+    return df.where(hash_bucket(key, seed, buckets) < thresh)
+
+
 def stratified_hash_sample(df: DataFrame, key: Column | str, strata: Column | str,
                            fractions: dict[str, float], default: float = 0.0,
                            seed: str = "", buckets: int = BUCKETS) -> DataFrame:

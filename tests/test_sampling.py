@@ -16,6 +16,7 @@ from bloomfilter_multithread_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
     stratified_hash_sample,
+    weighted_hash_sample,
 )
 
 
@@ -114,6 +115,44 @@ class TestStratifiedSample:
         n_unlisted = s.where(~F.col("event_type").isin(*self.FR)).count()
         exact = events.where(~F.col("event_type").isin(*self.FR)).count()
         assert n_unlisted == exact > 0
+
+
+class TestWeightedSample:
+    RATE = 1 / 400  # docs with n_chars >= 400 kept with certainty
+
+    def test_certainty_cap(self, docs):
+        s = weighted_hash_sample(docs, "doc_id", "n_chars", self.RATE, seed="w")
+        n_heavy = docs.where(F.col("n_chars") >= 400).count()
+        kept_heavy = s.where(F.col("n_chars") >= 400).count()
+        assert kept_heavy == n_heavy > 0
+
+    def test_inclusion_tracks_weight(self, docs):
+        """Empirical inclusion fraction of the light (w < 200) vs the
+        mid (200 ≤ w < 400) band straddles the analytic probabilities."""
+        s = weighted_hash_sample(docs, "doc_id", "n_chars", self.RATE, seed="w")
+        light_all = docs.where(F.col("n_chars") < 200).count()
+        light_kept = s.where(F.col("n_chars") < 200).count()
+        mid_all = docs.where(F.col("n_chars").between(200, 399)).count()
+        mid_kept = s.where(F.col("n_chars").between(200, 399)).count()
+        assert light_kept / light_all < mid_kept / mid_all
+
+    def test_expected_fraction(self, docs):
+        rows = docs.select("doc_id", "n_chars").collect()
+        exp = sum(min(1.0, r["n_chars"] * self.RATE) for r in rows) / len(rows)
+        got = weighted_hash_sample(docs, "doc_id", "n_chars", self.RATE, seed="w").count()
+        sigma = math.sqrt(exp * (1 - exp) / len(rows))
+        assert abs(got / len(rows) - exp) <= 4 * sigma + 0.01
+
+    def test_partitioning_invariance(self, docs):
+        a = _ids(weighted_hash_sample(docs.repartition(3), "doc_id", "n_chars",
+                                      self.RATE, seed="w"))
+        b = _ids(weighted_hash_sample(docs.repartition(17), "doc_id", "n_chars",
+                                      self.RATE, seed="w"))
+        assert a == b and len(a) > 0
+
+    def test_negative_rate_raises(self, docs):
+        with pytest.raises(ValueError, match="rate"):
+            weighted_hash_sample(docs, "doc_id", "n_chars", -0.1)
 
 
 def test_duckdb_bucket_mirror_is_bit_exact(docs, sf_dir):
