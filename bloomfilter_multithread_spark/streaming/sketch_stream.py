@@ -13,8 +13,9 @@ the genuinely-new streaming surface the mergeable-sketch design enables:
   to the identical sketch a batch build over the full input produces
   (asserted bit-exactly for Bloom/HLL/CMS in tests).
 - ``running_distinct_per_key``: custom stateful operator via
-  ``applyInPandasWithState`` — per-key running HLL registers kept in
-  GroupState, emitting (key, estimate) updates each micro-batch.
+  ``applyInPandasWithState`` — a per-key running mergeable sketch (HLL
+  registers or a KMV envelope, ``kind=``) kept in GroupState, emitting
+  (key, estimate) updates each micro-batch.
 - ``windowed_counts``: event-time tumbling windows + watermark for late
   data, straight from the built-in surface.
 
@@ -145,20 +146,31 @@ def read_parquet_stream(spark: SparkSession, path: str, schema,
 # ----------------------------------------------------- stateful operator
 
 
-_HLL_STATE_SCHEMA = "regs binary, n long"
+_SKETCH_STATE_SCHEMA = "sketch binary, n long"  # envelope bytes: any registered kind
 _RUNNING_OUT_DDL = "key string, n_turns long, est_distinct long"
 
 
 def running_distinct_per_key(stream_df: DataFrame, key_col: str, value_col: str,
-                             p: int = 12, timeout: str = "NoTimeout") -> DataFrame:
+                             p: int = 12, timeout: str = "NoTimeout",
+                             kind: str = "hll", params: dict | None = None) -> DataFrame:
     """Custom stateful streaming op: per-key running distinct-value
-    estimate via HLL registers held in GroupState. Emits one updated
+    estimate via a mergeable sketch held in GroupState. Emits one updated
     (key, n_turns, est_distinct) row per key per micro-batch.
 
+    ``kind`` selects any registered hashed sketch with an ``estimate()``
+    (``"hll"`` p=12 → 4 KiB state/key; ``"kmv"`` k via ``params`` →
+    k·8 B state/key and exact counts until saturation — pick per key
+    cardinality budget). State stores the serialized envelope, so a
+    restart resumes the exact sketch (version-checked by ``from_bytes``).
+
     The update path is vectorized: values arrive pre-hashed (JVM
-    xxhash64); the pandas handler folds whole batches into the register
-    array with numpy — no per-row Python."""
-    from ..sketches.hll import HLLSketch
+    xxhash64); the pandas handler folds whole batches into the sketch
+    with numpy — no per-row Python."""
+    from ..sketches import sketch_class
+
+    cls = sketch_class(kind)
+    if params is None:
+        params = {"p": p} if kind == "hll" else {}
 
     hashed = stream_df.select(
         F.col(key_col).cast("string").alias("key"),
@@ -169,10 +181,10 @@ def running_distinct_per_key(stream_df: DataFrame, key_col: str, value_col: str,
         import numpy as np
 
         if state.exists:
-            regs_bytes, n = state.get
-            sk = HLLSketch.from_bytes(bytes(regs_bytes))
+            sketch_bytes, n = state.get
+            sk = cls.from_bytes(bytes(sketch_bytes))
         else:
-            sk, n = HLLSketch.create(p=p), 0
+            sk, n = cls.create(**params), 0
         for pdf in pdf_iter:
             sk.update_hashes(pdf["h"].to_numpy(dtype=np.int64))
             n += len(pdf)
@@ -184,7 +196,7 @@ def running_distinct_per_key(stream_df: DataFrame, key_col: str, value_col: str,
     return hashed.groupBy("key").applyInPandasWithState(
         update,
         outputStructType=_RUNNING_OUT_DDL,
-        stateStructType=_HLL_STATE_SCHEMA,
+        stateStructType=_SKETCH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )

@@ -128,6 +128,37 @@ def test_running_distinct_per_key(spark, tmp_path):
         assert abs(row["est_distinct"] - exact_d[role]) / exact_d[role] <= max(bound, 0.05), role
 
 
+def test_running_distinct_per_key_kmv(spark, tmp_path):
+    """Same stateful operator with a KMV envelope in GroupState instead
+    of HLL registers: distinct texts per role stay below k, so the
+    running estimate must be EXACT (the KMV exact mode) — a stronger
+    check than the HLL bound."""
+    df = synth_transcripts(spark, n_convs=60, seed=7)
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+    stream = read_parquet_stream(spark, in_dir, df.schema)
+    out = running_distinct_per_key(stream, key_col="role", value_col="text",
+                                   kind="kmv", params={"k": 1 << 15})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_distinct_kmv")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["key"]: r for r in spark.sql("select * from running_distinct_kmv").collect()}
+    exact_d = {
+        r["role"]: r["d"]
+        for r in df.selectExpr("role", "text").distinct().groupBy("role").count()
+        .withColumnRenamed("count", "d").collect()
+    }
+    assert set(got) == set(exact_d)
+    for role, row in got.items():
+        assert row["est_distinct"] == exact_d[role], role
+
+
 def test_windowed_counts_runs(spark, tmp_path):
     df = synth_transcripts(spark, n_convs=50, seed=3)
     in_dir = str(tmp_path / "in")
