@@ -541,6 +541,28 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hasher=md5_hash_col)
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the step after pair finding: MinHash
+    LSH pairs (same pipeline as ``minhash_neardup``, exact-confirmed) fed
+    through iterative hash-min connected components, labelling every
+    involved document with the min doc_id of its duplicate group plus the
+    group size. The output is what a 100 TB dedup pass actually keys on
+    ("keep doc_id == cluster_id, drop the rest"). Oracle: recursive-CTE
+    transitive closure over the brute-force pair SQL."""
+    from bloomfilter_multithread_spark.operators.clustering import connected_components
+    from bloomfilter_multithread_spark.operators.dedup import minhash_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, k=5, n_perm=64, bands=16, threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 per query vector (brute force, broadcast query
     side, JVM-codegen scoring)."""
@@ -1123,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_stats": _q_shingle_stats,
         "rolled_kmer_seen": _q_rolled_kmer_seen,
         "minhash_neardup": _q_minhash_neardup,
+        "neardup_clusters": _q_neardup_clusters,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1183,8 +1206,11 @@ def oracle_sql() -> dict[str, str]:
                list_concat([embedding[1]::DOUBLE + 0.1], (embedding::DOUBLE[])[2:])
         FROM embeddings WHERE vec_id % 20 = 0
     """
+    from bloomfilter_multithread_spark.operators.clustering import duckdb_components_sql
+
     return {
         "minhash_neardup": jacc,
+        "neardup_clusters": duckdb_components_sql(jacc),
         "embedding_near_dups": (
             f"WITH allv AS ({planted_cte})\n"
             + duckdb_cosine_pairs_sql("allv", "vec_id", "embedding", 9900)
