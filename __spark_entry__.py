@@ -541,6 +541,33 @@ def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              hasher=md5_hash_col)
 
 
+def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events table: every click is aligned with the
+    user's latest view at-or-before it (union + running-last window — one
+    key shuffle, no inequality join). Oracle: DuckDB's native ASOF LEFT
+    JOIN. Staleness is exact integer microseconds; the matched value is
+    milli-rounded from the identical parquet double on both engines."""
+    from bloomfilter_multithread_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    probe = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    ref = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(probe, ref, on="user_id", ts="ts",
+                    payload=("event_id", "value"), tiebreak="event_id")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("asof_event_id").cast("long").alias("view_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).cast("long").alias("staleness_us"),
+        F.floor(F.col("asof_value") * 1000 + F.lit(0.5)).cast("long").alias("view_value_milli"),
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the step after pair finding: MinHash
     LSH pairs (same pipeline as ``minhash_neardup``, exact-confirmed) fed
@@ -1146,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolled_kmer_seen": _q_rolled_kmer_seen,
         "minhash_neardup": _q_minhash_neardup,
         "neardup_clusters": _q_neardup_clusters,
+        "asof_join_events": _q_asof_join_events,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1211,6 +1239,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "minhash_neardup": jacc,
         "neardup_clusters": duckdb_components_sql(jacc),
+        "asof_join_events": """
+            WITH probe AS (SELECT event_id, user_id, ts FROM events
+                           WHERE event_type = 'click'),
+            ref AS (SELECT user_id, ts, event_id, value FROM events
+                    WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id,
+                   CAST(r.event_id AS BIGINT) AS view_event_id,
+                   date_diff('microsecond', r.ts, p.ts) AS staleness_us,
+                   CAST(FLOOR(r.value * 1000 + 0.5) AS BIGINT) AS view_value_milli
+            FROM probe p ASOF LEFT JOIN ref r
+              ON p.user_id = r.user_id AND p.ts >= r.ts
+        """,
         "embedding_near_dups": (
             f"WITH allv AS ({planted_cte})\n"
             + duckdb_cosine_pairs_sql("allv", "vec_id", "embedding", 9900)
