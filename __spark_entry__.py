@@ -155,6 +155,48 @@ def _q_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("user_id", "n_events")
 
 
+def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries candidates + exact confirm ≡ GROUP BY HAVING — the
+    DETERMINISTIC-guarantee twin of ``cms_heavy_users``: every item with
+    true count > (N - S)/(k+1) is provably stored (zero false negatives
+    above the bound, Agarwal et al. PODS'12 §3.1), so with k sized such
+    that N/(k+1) < threshold the candidate set is a guaranteed superset.
+    ``within_bound`` witnesses the undercount contract (0 <= exact - est
+    <= D) per surviving row — True by theorem under ANY partitioning, so
+    it is oracle-stable even though the est values themselves depend on
+    merge order once the sketch saturates."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    threshold = 80
+    ev = _read(spark, sf_dir, "events")
+    mg = build_sketches(ev, [SketchSpec("m", "mg", "user_id", {"k": 4095})])["m"]
+    assert mg.error_bound() < threshold, (
+        "MG capacity too small for this scale: raise k so N/(k+1) < threshold"
+    )
+    cand_hashes = [int(x) for x in mg.item_hashes()]
+    ests = {int(h): int(e) for h, e in
+            zip(cand_hashes, mg.estimate_hashes(mg.item_hashes()))}
+    bound = mg.error_bound()
+    est_map = F.create_map(
+        *[F.lit(v) for kv in ests.items() for v in kv]
+    )
+    exact = (
+        ev.where(F.xxhash64(F.col("user_id")).isin(cand_hashes))
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .where(F.col("n_events") >= threshold)
+    )
+    est_col = est_map[F.xxhash64(F.col("user_id"))]
+    return exact.select(
+        "user_id",
+        "n_events",
+        (
+            (F.col("n_events") >= est_col)
+            & ((F.col("n_events") - est_col) <= F.lit(float(bound)))
+        ).alias("within_bound"),
+    )
+
+
 def _rank_check_quantiles(df: DataFrame, col: str, quantiles: list[float],
                           estimates: list[float], eps: float,
                           out_names: list[str], out_scale: int,
@@ -1162,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "hll_setops": _q_hll_setops,
         "cms_heavy_users": _q_cms_heavy_users,
+        "mg_heavy_hitters": _q_mg_heavy_hitters,
         "cms_join_size": _q_cms_join_size,
         "bloom_setops": _q_bloom_setops,
         "kmv_setops": _q_kmv_setops,
@@ -1421,6 +1464,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_users": """
             SELECT user_id, COUNT(*) AS n_events FROM events
             GROUP BY user_id HAVING COUNT(*) >= 80
+        """,
+        "mg_heavy_hitters": """
+            SELECT user_id, COUNT(*) AS n_events, TRUE AS within_bound
+            FROM events GROUP BY user_id HAVING COUNT(*) >= 80
         """,
         "cms_join_size": """
             SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_size,

@@ -7,6 +7,7 @@ from .hashing import double_hash_indices, splitmix64, to_u64, xorshift32_batch, 
 from .hll import HLLSketch
 from .kll import KLLSketch
 from .kmv import KMVSketch
+from .mg import MGSketch
 from .tdigest import TDigestSketch
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "HLLSketch",
     "KLLSketch",
     "KMVSketch",
+    "MGSketch",
     "TDigestSketch",
     "double_hash_indices",
     "splitmix64",

@@ -469,3 +469,89 @@ class TestKMV:
         assert np.array_equal(rt.values, s.values)
         with pytest.raises(ValueError, match="k mismatch"):
             s.merge(KMVSketch.create(k=512))
+
+
+class TestMG:
+    """Misra–Gries: exact below capacity, deterministic undercount bound
+    under saturation, merge-tree invariance of the guarantee, serde."""
+
+    @staticmethod
+    def _zipf_hashes(n=20000, n_items=2000, seed=3):
+        from bloomfilter_multithread_spark.sketches.hashing import splitmix64
+
+        rng = np.random.default_rng(seed)
+        items = rng.zipf(1.3, size=n) % n_items
+        # splitmix64 for uniform 64-bit identities (order statistics in
+        # other sketches need this; here it just avoids tiny-int keys)
+        h = splitmix64(items.astype(np.uint64)).astype(np.int64)
+        return h, items
+
+    def test_exact_below_capacity(self):
+        from bloomfilter_multithread_spark.sketches import MGSketch
+
+        h = np.repeat(np.arange(50, dtype=np.int64), np.arange(1, 51))
+        s = MGSketch.create(k=64).update_hashes(h)
+        assert s.error_bound() == 0.0
+        est = s.estimate_hashes(np.arange(50, dtype=np.int64))
+        assert np.array_equal(est, np.arange(1, 51))
+        assert s.n_total == h.size
+
+    def test_bound_and_no_false_negatives_under_saturation(self):
+        from bloomfilter_multithread_spark.sketches import MGSketch
+
+        h, _ = self._zipf_hashes()
+        k = 64
+        s = MGSketch.create(k=k).update_hashes(h)
+        uniq, true = np.unique(h, return_counts=True)
+        d = s.error_bound()
+        assert 0 < d <= h.size / (k + 1)
+        est = s.estimate_hashes(uniq)
+        assert np.all(est <= true), "MG must never overcount"
+        assert np.all(true - est <= d + 1e-9), "undercount exceeds (N-S)/(k+1)"
+        heavy = uniq[true > d]
+        assert heavy.size > 0  # fixture sanity: the guarantee is exercised
+        assert np.all(np.isin(heavy, s.item_hashes())), "heavy item evicted"
+        assert len(s.item_hashes()) <= k
+
+    def test_merge_tree_preserves_guarantee(self):
+        from bloomfilter_multithread_spark.sketches import MGSketch
+        from bloomfilter_multithread_spark.sketches.base import merge_all
+
+        h, _ = self._zipf_hashes(seed=11)
+        rng = np.random.default_rng(5)
+        parts = np.array_split(h[rng.permutation(h.size)], 13)
+        k = 64
+        blobs = [MGSketch.create(k=k).update_hashes(p).to_bytes() for p in parts]
+        m = merge_all(blobs)
+        assert m.n_total == h.size
+        uniq, true = np.unique(h, return_counts=True)
+        d = m.error_bound()
+        assert d <= h.size / (k + 1)
+        est = m.estimate_hashes(uniq)
+        assert np.all(est <= true)
+        assert np.all(true - est <= d + 1e-9)
+        heavy = uniq[true > d]
+        assert np.all(np.isin(heavy, m.item_hashes()))
+
+    def test_serde_roundtrip_and_mismatch(self):
+        from bloomfilter_multithread_spark.sketches import MGSketch
+        from bloomfilter_multithread_spark.sketches.base import MergeableSketch
+
+        h, _ = self._zipf_hashes(n=2000, seed=2)
+        s = MGSketch.create(k=32).update_hashes(h)
+        rt = MergeableSketch.from_bytes(s.to_bytes())
+        assert isinstance(rt, MGSketch)
+        assert rt.k == s.k and rt.n_total == s.n_total
+        assert np.array_equal(rt.keys, s.keys)
+        assert np.array_equal(rt.counts, s.counts)
+        with pytest.raises(ValueError, match="cannot merge"):
+            s.merge(MGSketch.create(k=64))
+
+    def test_empty_sketch_estimates_zero(self):
+        from bloomfilter_multithread_spark.sketches import MGSketch
+
+        s = MGSketch.create(k=8)
+        assert np.array_equal(
+            s.estimate_hashes(np.array([1, 2], dtype=np.int64)), [0, 0]
+        )
+        assert s.error_bound() == 0.0
