@@ -610,6 +610,37 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_band_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-band join: for every error event, the number of purchases
+    (any user) within +-2 minutes and their exact value mass — via block
+    bucketization + equi-join (explode to 3 blocks), never an inequality
+    BroadcastNestedLoopJoin. Zero-match errors are kept through a final
+    left join against the full error set. Value mass is per-item
+    milli-rounded BEFORE the sum, so it is an order-free integer on both
+    engines."""
+    from bloomfilter_multithread_spark.operators.rangejoin import band_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("ts", "value")
+    pairs = band_join(errors, purchases, ts="ts", tolerance_us=120_000_000,
+                      payload=("value",))
+    per_err = pairs.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_purchases_2min"),
+        F.sum(F.floor(F.col("ref_value") * 1000 + F.lit(0.5)).cast("long"))
+        .cast("long").alias("purchase_value_milli"),
+    )
+    return (
+        errors.select("event_id")
+        .join(per_err, "event_id", "left")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.coalesce("n_purchases_2min", F.lit(0)).cast("long").alias("n_purchases_2min"),
+            F.col("purchase_value_milli").cast("long").alias("purchase_value_milli"),
+        )
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the step after pair finding: MinHash
     LSH pairs (same pipeline as ``minhash_neardup``, exact-confirmed) fed
@@ -1217,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": _q_minhash_neardup,
         "neardup_clusters": _q_neardup_clusters,
         "asof_join_events": _q_asof_join_events,
+        "band_join_events": _q_band_join_events,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1293,6 +1325,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(r.value * 1000 + 0.5) AS BIGINT) AS view_value_milli
             FROM probe p ASOF LEFT JOIN ref r
               ON p.user_id = r.user_id AND p.ts >= r.ts
+        """,
+        "band_join_events": """
+            WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+            pur AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+            SELECT e.event_id,
+                   CAST(COUNT(p.ts) AS BIGINT) AS n_purchases_2min,
+                   CAST(SUM(FLOOR(p.value * 1000 + 0.5)) AS BIGINT)
+                     AS purchase_value_milli
+            FROM err e LEFT JOIN pur p
+              ON abs(date_diff('microsecond', e.ts, p.ts)) <= 120000000
+            GROUP BY e.event_id
         """,
         "embedding_near_dups": (
             f"WITH allv AS ({planted_cte})\n"
