@@ -610,6 +610,23 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "vector", "dup", "stream"]
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term list —
+    exact corpus stats (N, df, avgdl), identical double arithmetic on
+    both engines, per-(doc,term) contributions micro-rounded BEFORE the
+    integer sum so float addition order cannot move the score.
+    ``tests/test_bm25.py`` pins every contribution >= 1e-6 micro away
+    from a rounding boundary, freezing the ln()-ulp guarantee the same
+    way the ANN queries pin their argmax margins."""
+    from bloomfilter_multithread_spark.operators.textstats import bm25_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_TERMS)
+
+
 def _q_band_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-band join: for every error event, the number of purchases
     (any user) within +-2 minutes and their exact value mass — via block
@@ -1255,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "lang_quality": _q_lang_quality,
+        "bm25_scores": _q_bm25_scores,
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
@@ -1290,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from bloomfilter_multithread_spark.operators.sampling import duckdb_hash_bucket_sql
     from bloomfilter_multithread_spark.operators.textstats import (
+        duckdb_bm25_sql,
         duckdb_lang_id,
         duckdb_quality_bp,
     )
@@ -1361,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({duckdb_lang_id('documents')}) l
             JOIN ({duckdb_quality_bp('documents')}) q USING (doc_id)
         """,
+        "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "fingerprint": f"""
             WITH sh AS ({sh_cte})
             SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id

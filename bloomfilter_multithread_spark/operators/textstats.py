@@ -152,3 +152,98 @@ def duckdb_quality_bp(table: str, id_col: str = "doc_id", text_col: str = "text"
                      regexp_split_to_array(trim({text_col}), '\\s+') AS t
               FROM {table}) x
     """
+
+
+# ---------------------------------------------------------------- bm25
+
+def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a fixed term list
+    (Robertson/Sparck Jones probabilistic idf, the +1 'plus' form that
+    keeps idf positive) — the ranking half of a training-data quality /
+    retrieval pipeline.
+
+    Cross-engine determinism: the corpus stats (N, df per term, avgdl)
+    are exact integers or exact ratios; each (doc, term) contribution is
+    computed in identical double arithmetic on both engines and rounded
+    to integer MICRO units BEFORE the final sum, so the per-document
+    score is an order-free integer sum (float addition order can never
+    change it). The only cross-engine wobble is ln()'s last ulp, ~1e-16
+    relative — tests pin every contribution's distance from a rounding
+    boundary at >= 1e-6 micro (vs <=~3e-10 worst-case ulp drift) so a
+    ulp can never flip a floor.
+
+    Scale shape: one explode+groupBy over (doc, term) restricted to the
+    |terms| query tokens (the WHERE prunes before the shuffle), one tiny
+    broadcast of per-term df, one broadcast scalar (N, avgdl) — no
+    quadratic anything; the document table is scanned once.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    n_docs, total_dl = int(stats["n_docs"]), int(stats["total_dl"])
+    avgdl = total_dl / n_docs
+
+    qt = toks.where(F.col("tok").isin(list(terms)))
+    tf = qt.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "tok")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    j = scored.join(dl, id_col)
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
+    )
+    per_term = j.select(
+        F.col(id_col),
+        F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long").alias("c_micro"),
+    )
+    return per_term.groupBy(id_col).agg(
+        F.sum("c_micro").cast("long").alias("score_micro"),
+        F.count("*").cast("long").alias("n_matched_terms"),
+    )
+
+
+def duckdb_bm25_sql(table: str, terms: list[str], id_col: str = "doc_id",
+                    text_col: str = "text", k1: float = 1.2, b: float = 0.75) -> str:
+    """Exact SQL mirror of ``bm25_scores`` (same double arithmetic, same
+    per-contribution micro rounding before the integer sum)."""
+    termlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS _id,
+                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+            FROM {table}
+        ),
+        dl AS (SELECT _id, COUNT(*) AS dl FROM toks GROUP BY _id),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         SUM(dl) / COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT _id, tok, COUNT(*) AS tf FROM toks
+               WHERE tok IN ({termlist}) GROUP BY _id, tok),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        contrib AS (
+            SELECT tf._id,
+                   FLOOR(
+                     ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                     * (tf.tf * {k1 + 1.0})
+                     / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / s.avgdl))
+                     * 1e6 + 0.5) AS c_micro
+            FROM tf
+            JOIN dfreq USING (tok)
+            JOIN dl ON dl._id = tf._id
+            CROSS JOIN stats s
+        )
+        SELECT CAST(_id AS BIGINT) AS {id_col},
+               CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+        FROM contrib GROUP BY _id
+    """
