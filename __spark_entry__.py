@@ -610,6 +610,26 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token chunks, stride 48) — the
+    RAG/long-context shaping op; fully narrow (no shuffle): explode a
+    sequence() of chunk starts and slice the token array JVM-side."""
+    from bloomfilter_multithread_spark.operators.chunking import chunk_sliding
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_sliding(docs, max_tokens=64, stride=48)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-allowed greedy packing of each source stream into 512-token
+    training sequences — one window cumsum per stream, emitting each
+    document's (first_seq, last_seq, offset_in_first) span."""
+    from bloomfilter_multithread_spark.operators.chunking import pack_greedy
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_greedy(docs, budget=512)
+
+
 _BM25_TERMS = ["spark", "vector", "dup", "stream"]
 
 
@@ -1273,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "lang_quality": _q_lang_quality,
         "bm25_scores": _q_bm25_scores,
+        "chunk_sliding": _q_chunk_sliding,
+        "pack_sequences": _q_pack_sequences,
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
@@ -1328,6 +1350,10 @@ def oracle_sql() -> dict[str, str]:
                list_concat([embedding[1]::DOUBLE + 0.1], (embedding::DOUBLE[])[2:])
         FROM embeddings WHERE vec_id % 20 = 0
     """
+    from bloomfilter_multithread_spark.operators.chunking import (
+        duckdb_chunk_sliding_sql,
+        duckdb_pack_greedy_sql,
+    )
     from bloomfilter_multithread_spark.operators.clustering import duckdb_components_sql
 
     return {
@@ -1381,6 +1407,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({duckdb_quality_bp('documents')}) q USING (doc_id)
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
+        "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),
+        "pack_sequences": duckdb_pack_greedy_sql("documents", budget=512),
         "fingerprint": f"""
             WITH sh AS ({sh_cte})
             SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
