@@ -266,6 +266,53 @@ def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches as PER-KEY aggregates: one t-digest per event_type (two-
+    level grouped combine: map-side per-group partials -> applyInPandas
+    merge), rank-checked per group against exact percentiles in one
+    broadcast-join + aggregate pass. Output is exact percentiles + the
+    per-group within-bound witness — deterministic under any
+    partitioning even though the sketch internals are not."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec
+    from bloomfilter_multithread_spark.operators.grouped import (
+        build_sketches_grouped,
+        collect_grouped,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    merged = build_sketches_grouped(
+        ev, "event_type", [SketchSpec("t", "tdigest", "value", {"delta": 200.0})]
+    )
+    sk = collect_grouped(merged)
+    est = spark.createDataFrame(
+        [(g, float(s.quantile(0.5)), float(s.quantile(0.9)))
+         for (g, _name), s in sorted(sk.items())],
+        "event_type string, e50 double, e90 double",
+    )
+    eps = 0.02
+    agg = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum((F.col("value") <= F.col("e50")).cast("long")).alias("_r50"),
+            F.sum((F.col("value") <= F.col("e90")).cast("long")).alias("_r90"),
+            F.expr("percentile(value, array(0.5, 0.9))").alias("_qs"),
+        )
+    )
+    ok = (
+        (F.abs(F.col("_r50") / F.col("_n") - 0.5) <= eps)
+        & (F.abs(F.col("_r90") / F.col("_n") - 0.9) <= eps)
+    )
+    return agg.select(
+        "event_type",
+        F.col("_n").cast("long").alias("n_events"),
+        F.floor(F.element_at("_qs", 1) * 1000 + F.lit(0.5)).cast("long").alias("p50_milli"),
+        F.floor(F.element_at("_qs", 2) * 1000 + F.lit(0.5)).cast("long").alias("p90_milli"),
+        ok.alias("tdigest_within_bound"),
+    )
+
+
 def _q_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch SET ALGEBRA: |A ∪ B| via register-max merge
     (exact sketch semantics) and |A ∩ B| via inclusion–exclusion, for
@@ -1278,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_setops": _q_kmv_setops,
         "kll_quantiles": _q_kll_quantiles,
         "tdigest_quantiles": _q_tdigest_quantiles,
+        "grouped_quantiles": _q_grouped_quantiles,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -1675,6 +1723,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(quantile_cont(value, 0.9) * 1000 + 0.5) AS BIGINT) AS p90_milli,
                    TRUE AS tdigest_within_bound
             FROM events
+        """,
+        "grouped_quantiles": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(FLOOR(quantile_cont(value, 0.5) * 1000 + 0.5) AS BIGINT) AS p50_milli,
+                   CAST(FLOOR(quantile_cont(value, 0.9) * 1000 + 0.5) AS BIGINT) AS p90_milli,
+                   TRUE AS tdigest_within_bound
+            FROM events GROUP BY event_type
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
