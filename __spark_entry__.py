@@ -173,26 +173,31 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert mg.error_bound() < threshold, (
         "MG capacity too small for this scale: raise k so N/(k+1) < threshold"
     )
-    cand_hashes = [int(x) for x in mg.item_hashes()]
-    ests = {int(h): int(e) for h, e in
-            zip(cand_hashes, mg.estimate_hashes(mg.item_hashes()))}
     bound = mg.error_bound()
-    est_map = F.create_map(
-        *[F.lit(v) for kv in ests.items() for v in kv]
+    # candidates as a broadcast-joined DF, not thousands of literal
+    # expressions (a 2k-entry create_map / isin literal list measured
+    # seconds of analysis+codegen time at sf0.1)
+    cand = spark.createDataFrame(
+        [(int(h), int(e)) for h, e in
+         zip(mg.item_hashes(), mg.estimate_hashes(mg.item_hashes()))],
+        "_h long, _est long",
     )
     exact = (
-        ev.where(F.xxhash64(F.col("user_id")).isin(cand_hashes))
+        ev.select(F.col("user_id"), F.xxhash64(F.col("user_id")).alias("_h"))
+        .join(F.broadcast(cand), "_h")
         .groupBy("user_id")
-        .agg(F.count("*").cast("long").alias("n_events"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.first("_est").alias("_est"),
+        )
         .where(F.col("n_events") >= threshold)
     )
-    est_col = est_map[F.xxhash64(F.col("user_id"))]
     return exact.select(
         "user_id",
         "n_events",
         (
-            (F.col("n_events") >= est_col)
-            & ((F.col("n_events") - est_col) <= F.lit(float(bound)))
+            (F.col("n_events") >= F.col("_est"))
+            & ((F.col("n_events") - F.col("_est")) <= F.lit(float(bound)))
         ).alias("within_bound"),
     )
 
@@ -654,6 +659,18 @@ def _q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("asof_ts").cast("timestamp"))
         ).cast("long").alias("staleness_us"),
         F.floor(F.col("asof_value") * 1000 + F.lit(0.5)).cast("long").alias("view_value_milli"),
+    )
+
+
+def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample: 5 documents per source by bottom-k
+    hash order — deterministic, retry-stable, nested across sizes;
+    row-level oracle-exact including the rank."""
+    from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return group_sample_topk(docs, "doc_id", "source", n=5, seed="gs").select(
+        "doc_id", "source", "sample_rank"
     )
 
 
@@ -1348,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "weighted_sample": _q_weighted_sample,
         "consistent_sample_join": _q_consistent_sample_join,
+        "group_sample": _q_group_sample,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
         "transcript_seen_text": _q_transcript_seen_text,
@@ -1376,7 +1394,10 @@ def oracle_sql() -> dict[str, str]:
         duckdb_recall_sql,
         duckdb_topk_sql,
     )
-    from bloomfilter_multithread_spark.operators.sampling import duckdb_hash_bucket_sql
+    from bloomfilter_multithread_spark.operators.sampling import (
+        duckdb_group_sample_sql,
+        duckdb_hash_bucket_sql,
+    )
     from bloomfilter_multithread_spark.operators.textstats import (
         duckdb_bm25_sql,
         duckdb_lang_id,
@@ -1670,6 +1691,9 @@ def oracle_sql() -> dict[str, str]:
                    n_join_of_samples = n_sample_of_join AS consistent
             FROM j1, j2
         """,
+        "group_sample": duckdb_group_sample_sql(
+            "documents", "doc_id", "source", n=5, seed="gs",
+            cols="doc_id, source"),
         "kmv_setops": """
             WITH a AS (SELECT DISTINCT o_orderkey AS key FROM orders
                        WHERE o_orderstatus = 'F'),

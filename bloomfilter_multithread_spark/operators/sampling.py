@@ -97,3 +97,61 @@ def stratified_hash_sample(df: DataFrame, key: Column | str, strata: Column | st
     for value, frac in sorted(fractions.items()):
         thresh = F.when(s == F.lit(value), F.lit(int(round(frac * buckets)))).otherwise(thresh)
     return df.where(hash_bucket(key, seed, buckets) < thresh)
+
+
+def group_sample_topk(df: DataFrame, key: Column | str, group: Column | str,
+                      n: int, seed: str = "", key_order: Column | str | None = None
+                      ) -> DataFrame:
+    """Fixed-SIZE per-group sample: the ``n`` rows of each group with the
+    smallest key-hash (bottom-k by hash order — the KMV idea applied to
+    row selection). Complements the fixed-RATE samplers above where a
+    quota is wanted per stratum regardless of its size ("5 eval docs per
+    language"), and inherits their determinism: no RNG state, stable
+    under retries/partitioning, and NESTED — the same seed's size-n
+    sample is a prefix of its size-m sample for n < m (bottom-k order is
+    fixed), so growing a holdout never resamples it.
+
+    Adds ``sample_rank`` (1-based position in the group's hash order).
+    Ties on the 32-bit hash are broken by the key value itself
+    (``key_order`` defaults to ``key``), keeping the output total-order
+    deterministic on both engines.
+
+    Scale: one hash shuffle on ``group`` + per-group sort (the standard
+    rank-filter shape). For pathologically hot groups, pre-thin map-side
+    with a coarse cutoff on the SAME hash (``where(h < c)`` for
+    c >> n * 2^32 / |group|) — bottom-k commutes with a prefix filter on
+    its own order, so the two-phase result is identical whenever the cut
+    keeps at least n rows per group (NOT the ppm-bucket filter of
+    ``hash_sample``, which is h mod 1e6 and does not prefix this order).
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n >= 1")
+    g = F.col(group) if isinstance(group, str) else group
+    tie = key_order if key_order is not None else key
+    tie = F.col(tie) if isinstance(tie, str) else tie
+    h = md5_hash_col(F.concat((F.col(key) if isinstance(key, str) else key)
+                              .cast("string"), F.lit(seed)))
+    w = Window.partitionBy(g).orderBy(h.asc(), tie.asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
+def duckdb_group_sample_sql(table: str, key: str, group: str, n: int,
+                            seed: str = "", cols: str | None = None) -> str:
+    """Exact mirror of :func:`group_sample_topk` (same md5 order, same
+    tiebreak)."""
+    cols = cols or f"{key}, {group}"
+    h = f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '{seed}'), 1, 8))::BIGINT"
+    return f"""
+        SELECT * FROM (
+            SELECT {cols},
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {group} ORDER BY {h}, {key}) AS BIGINT)
+                     AS sample_rank
+            FROM {table})
+        WHERE sample_rank <= {n}
+    """

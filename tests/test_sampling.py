@@ -172,3 +172,66 @@ def test_duckdb_bucket_mirror_is_bit_exact(docs, sf_dir):
     want = dict(rel.fetchall())
     assert got == want and len(got) > 0
     assert all(0 <= b < BUCKETS for b in got.values())
+
+
+class TestGroupSampleTopK:
+    def _sample(self, docs, n, seed="gs"):
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        return {
+            (r["source"], r["doc_id"]): r["sample_rank"]
+            for r in group_sample_topk(docs, "doc_id", "source", n=n, seed=seed)
+            .select("source", "doc_id", "sample_rank").collect()
+        }
+
+    def test_fixed_size_per_group(self, docs):
+        got = self._sample(docs, 5)
+        sizes = {}
+        for (src, _), rank in got.items():
+            sizes[src] = max(sizes.get(src, 0), rank)
+        group_counts = {r["source"]: r["c"] for r in
+                        docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+        for src, c in group_counts.items():
+            assert sizes[src] == min(5, c)
+        assert all(1 <= r <= 5 for r in got.values())
+
+    def test_nesting_smaller_is_prefix_of_larger(self, docs):
+        s3, s7 = self._sample(docs, 3), self._sample(docs, 7)
+        assert set(s3) <= set(s7)
+        assert all(s7[k] == v for k, v in s3.items())  # same ranks
+
+    def test_partitioning_invariance(self, docs):
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        a = self._sample(docs, 4)
+        b = {
+            (r["source"], r["doc_id"]): r["sample_rank"]
+            for r in group_sample_topk(docs.repartition(17), "doc_id", "source",
+                                       n=4, seed="gs")
+            .select("source", "doc_id", "sample_rank").collect()
+        }
+        assert a == b
+
+    def test_seed_changes_sample(self, docs):
+        assert self._sample(docs, 5, "a") != self._sample(docs, 5, "b")
+
+    def test_prefix_cut_commutes(self, spark, docs):
+        """Bottom-k commutes with a coarse cutoff on its own hash order."""
+        from bloomfilter_multithread_spark.operators.dedup import md5_hash_col
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        h = md5_hash_col(F.concat(F.col("doc_id").cast("string"), F.lit("gs")))
+        thinned = docs.where(h < F.lit(1 << 31))
+        direct = self._sample(docs, 2)
+        two_phase = {
+            (r["source"], r["doc_id"]): r["sample_rank"]
+            for r in group_sample_topk(thinned, "doc_id", "source", n=2, seed="gs")
+            .select("source", "doc_id", "sample_rank").collect()
+        }
+        assert direct == two_phase
+
+    def test_bad_n_raises(self, docs):
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        with pytest.raises(ValueError):
+            group_sample_topk(docs, "doc_id", "source", n=0)
