@@ -874,6 +874,90 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5min("text", k=5).alias("fingerprint"))
 
 
+def _planted_pii(docs: DataFrame) -> DataFrame:
+    """documents with deterministic PII planted on doc_id % 7 == 0 (the
+    synthetic corpus contains none) — the plant is pure string concat of
+    integer casts, so the oracle reproduces it bit-for-bit."""
+    plant = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-202-555-0"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".3.44"),
+    )
+    return docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, plant).otherwise(F.col("text"))
+    )
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (training-data curation front door):
+    per-pattern match counts and an md5 witness over the scrubbed text —
+    a pure narrow map (zero exchange; the plan is partition-count
+    invariant by construction).  Patterns live in the Java-regex ∩ RE2
+    common subset so both engines match identically
+    (operators/pii.py docstring)."""
+    from bloomfilter_multithread_spark.operators.pii import redacted, with_pii_counts
+
+    docs = _planted_pii(_read(spark, sf_dir, "documents").select("doc_id", "text"))
+    return with_pii_counts(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5(redacted("text")).alias("redacted_md5"),
+    )
+
+
+def _q_dupngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram fraction per document (the substring-level dedup
+    signal of Lee et al. 2022) — complements the document-level MinHash
+    path: a doc can be 30% boilerplate without being a near-dup of any
+    single other doc.  Exchanges carry (id, md5) only; see
+    operators/dedup.py::dup_ngram_stats for the plan."""
+    from bloomfilter_multithread_spark.operators.dedup import dup_ngram_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, "doc_id", "text", k=5)
+
+
+def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key distinct cardinality via GROUPED HLL sketches ("distinct
+    users per event type") — the hash-input twin of grouped_quantiles'
+    value sketches: map-side per-group partials, applyInPandas merge,
+    estimates bound-checked per group against the exact distinct in one
+    aggregate pass.  Output is the exact counts + the per-group
+    within-bound witness, deterministic under any partitioning."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec
+    from bloomfilter_multithread_spark.operators.grouped import (
+        build_sketches_grouped,
+        collect_grouped,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    merged = build_sketches_grouped(
+        ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 12})]
+    )
+    sk = collect_grouped(merged)
+    est = spark.createDataFrame(
+        [(g, float(s.estimate()), float(s.rel_error_bound()))
+         for (g, _name), s in sorted(sk.items())],
+        "event_type string, est double, bound double",
+    )
+    agg = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+            F.first("est").alias("_est"),
+            F.first("bound").alias("_bound"),
+        )
+    )
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_distinct")) / F.col("exact_distinct")
+        <= F.lit(4) * F.col("_bound")
+    )
+    return agg.select("event_type", "exact_distinct", ok.alias("within_bound"))
+
+
 # --------------------------------------------------------------------------
 # deterministic hash sampling (operators/sampling.py)
 # --------------------------------------------------------------------------
@@ -1343,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": _q_kll_quantiles,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
+        "grouped_distinct": _q_grouped_distinct,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -1357,6 +1442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "lang_quality": _q_lang_quality,
+        "pii_scrub": _q_pii_scrub,
+        "dupngram_fraction": _q_dupngram_fraction,
         "bm25_scores": _q_bm25_scores,
         "chunk_sliding": _q_chunk_sliding,
         "pack_sequences": _q_pack_sequences,
@@ -1381,9 +1468,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pii_oracle_sql() -> str:
+    """Mirror of _q_pii_scrub: the same PII plant (pure integer-cast
+    concat) and the same pattern set/order via duckdb_pii_exprs."""
+    from bloomfilter_multithread_spark.operators.pii import duckdb_pii_exprs
+
+    counts, red = duckdb_pii_exprs("text")
+    counts_sql = ",\n               ".join(counts)
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                        text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or +1-202-555-0'
+                             || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                             || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                             || '.3.44'
+                   ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {counts_sql},
+               md5({red}) AS redacted_md5
+        FROM planted
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.functions.shingles import duckdb_shingles_cte
     from bloomfilter_multithread_spark.operators.dedup import (
+        duckdb_dupngram_sql,
         duckdb_jaccard_pairs_sql,
         duckdb_simhash_pairs_sql,
     )
@@ -1474,6 +1588,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.lang_pred, q.quality_bp
             FROM ({duckdb_lang_id('documents')}) l
             JOIN ({duckdb_quality_bp('documents')}) q USING (doc_id)
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        "dupngram_fraction": duckdb_dupngram_sql("documents", "doc_id", "text", 5),
+        "grouped_distinct": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),

@@ -345,3 +345,71 @@ def duckdb_simhash_pairs_sql(table: str = "documents", id_col: str = "doc_id",
         FROM sig a JOIN sig b ON a._id < b._id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the substring-level dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): the share of a document's distinct word k-grams that
+    also occur in at least one OTHER document.
+
+    Plan (100 TB shape — hash-project before every exchange):
+      1. explode shingles, project (id, md5(shingle)) and take the
+         per-document distinct — the exchange carries a 32-hex-char hash,
+         never the shingle text;
+      2. ONE window ``count(*) over (partition by h)`` attaches the
+         document frequency (after the distinct, count == distinct docs);
+      3. per-document aggregate -> (n, n_dup, dup_bp).
+    Two hash-key shuffles total, both on fixed-width rows. Production
+    would hash to xxhash64 (8 bytes, collision-tolerable); the gated path
+    uses md5 because DuckDB reproduces it bit-for-bit (the driver oracle
+    groups by the SAME md5, so both engines partition identically).
+
+    ``dup_bp`` is basis points, floor-rounded to an integer so float
+    division can never diverge between engines.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.shingles import explode_shingles
+
+    sh = explode_shingles(df.select(id_col, text_col), text_col, k)
+    d = sh.select(id_col, F.md5("shingle").alias("_h")).distinct()
+    w = Window.partitionBy("_h")
+    c = d.withColumn("_ndocs", F.count("*").over(w))
+    return (
+        c.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("_ndocs") > 1).cast("long")).alias("n_dup_shingles"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup_shingles",
+            F.floor(F.lit(10000) * F.col("n_dup_shingles") / F.col("n_shingles"))
+            .cast("long")
+            .alias("dup_bp"),
+        )
+    )
+
+
+def duckdb_dupngram_sql(table: str = "documents", id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5) -> str:
+    """Exact SQL mirror of ``dup_ngram_stats`` (same md5 grouping key,
+    same window+aggregate decomposition, same floor-rounded bp)."""
+    from ..functions.shingles import duckdb_shingles_cte
+
+    cte = duckdb_shingles_cte(table, id_col, text_col, k)
+    return f"""
+        WITH sh AS ({cte}),
+        d AS (SELECT DISTINCT {id_col}, md5(shingle) AS h FROM sh),
+        c AS (SELECT {id_col}, COUNT(*) OVER (PARTITION BY h) AS ndocs FROM d)
+        SELECT {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_shingles,
+               CAST(FLOOR(10000.0 * SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
+                          / COUNT(*)) AS BIGINT) AS dup_bp
+        FROM c GROUP BY {id_col}
+    """
