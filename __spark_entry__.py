@@ -919,6 +919,30 @@ def _q_dupngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(docs, "doc_id", "text", k=5)
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appx. C hygiene step): Bloom over
+    the eval split's distinct 5-grams, map-side probe of every train
+    gram (zero FN ⇒ superset), exact broadcast confirm + per-doc agg —
+    the reference's corpus/probe pipeline pointed at a train/eval split
+    (operators/decontam.py)."""
+    from bloomfilter_multithread_spark.operators.decontam import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.where("doc_id % 31 = 0")
+    train = docs.where("doc_id % 31 != 0")
+    return decontaminate(train, eval_df, "doc_id", "text", k=5)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-n-gram ratio (Gopher-style quality
+    filter) — one per-doc aggregate, map-side-dedup'd countDistinct
+    (operators/textstats.py::repetition_stats)."""
+    from bloomfilter_multithread_spark.operators.textstats import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", k=3)
+
+
 def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key distinct cardinality via GROUPED HLL sketches ("distinct
     users per event type") — the hash-input twin of grouped_quantiles'
@@ -1444,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _q_lang_quality,
         "pii_scrub": _q_pii_scrub,
         "dupngram_fraction": _q_dupngram_fraction,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
         "bm25_scores": _q_bm25_scores,
         "chunk_sliding": _q_chunk_sliding,
         "pack_sequences": _q_pack_sequences,
@@ -1512,10 +1538,14 @@ def oracle_sql() -> dict[str, str]:
         duckdb_group_sample_sql,
         duckdb_hash_bucket_sql,
     )
+    from bloomfilter_multithread_spark.operators.decontam import (
+        duckdb_decontaminate_sql,
+    )
     from bloomfilter_multithread_spark.operators.textstats import (
         duckdb_bm25_sql,
         duckdb_lang_id,
         duckdb_quality_bp,
+        duckdb_repetition_sql,
     )
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
@@ -1591,6 +1621,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_oracle_sql(),
         "dupngram_fraction": duckdb_dupngram_sql("documents", "doc_id", "text", 5),
+        "decontaminate": duckdb_decontaminate_sql(
+            "documents", "doc_id", "text", 5,
+            eval_pred="doc_id % 31 = 0", train_pred="doc_id % 31 != 0",
+        ),
+        "repetition_stats": duckdb_repetition_sql("documents", "doc_id", "text", 3),
         "grouped_distinct": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,

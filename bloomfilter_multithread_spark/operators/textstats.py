@@ -247,3 +247,62 @@ def duckdb_bm25_sql(table: str, terms: list[str], id_col: str = "doc_id",
                CAST(COUNT(*) AS BIGINT) AS n_matched_terms
         FROM contrib GROUP BY _id
     """
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 3) -> DataFrame:
+    """WITHIN-document repeated-n-gram ratio — the repetition quality
+    signal (Rae et al. 2021 Gopher §A1.1 uses duplicate-n-gram fractions
+    as a core text-quality filter): the share of a document's k-gram
+    OCCURRENCES that are repeats of an earlier identical gram in the
+    same document.
+
+    rep_bp = floor(10000 * (n_grams - n_distinct) / n_grams).
+
+    Distinct from ``dedup.dup_ngram_stats`` (cross-document boilerplate):
+    a doc can be internally loopy without matching any other doc.
+
+    Plan: explode grams, ONE per-doc aggregate of (count, approx-free
+    exact countDistinct over md5(gram)) — a single shuffle keyed by the
+    id, carrying (id, 32-hex md5).  countDistinct's partial-aggregate
+    dedups map-side, so the exchange moves per-partition-distinct grams,
+    not occurrences."""
+    from ..functions.shingles import explode_shingles
+
+    sh = explode_shingles(df.select(id_col, text_col), text_col, k)
+    return (
+        sh.select(id_col, F.md5("shingle").alias("_h"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.countDistinct("_h").cast("long").alias("n_distinct_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_distinct_grams",
+            F.floor(
+                F.lit(10000)
+                * (F.col("n_grams") - F.col("n_distinct_grams"))
+                / F.col("n_grams")
+            ).cast("long").alias("rep_bp"),
+        )
+    )
+
+
+def duckdb_repetition_sql(table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 3) -> str:
+    """Exact mirror of ``repetition_stats`` (same md5 distinct key, same
+    floor-rounded bp)."""
+    from ..functions.shingles import duckdb_shingles_cte
+
+    cte = duckdb_shingles_cte(table, id_col, text_col, k)
+    return f"""
+        WITH sh AS ({cte})
+        SELECT {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT md5(shingle)) AS BIGINT) AS n_distinct_grams,
+               CAST(FLOOR(10000.0 * (COUNT(*) - COUNT(DISTINCT md5(shingle)))
+                          / COUNT(*)) AS BIGINT) AS rep_bp
+        FROM sh GROUP BY {id_col}
+    """
