@@ -919,6 +919,44 @@ def _q_dupngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(docs, "doc_id", "text", k=5)
 
 
+def _q_rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation (SURVEY §2.2 "grouping sets/cube/rollup"):
+    Spark's built-in ``rollup`` produces (lang, source), (lang) and ()
+    levels in ONE pass — Expand + single hash aggregate, no per-level
+    rescan.  NULL grouping placeholders are coalesced to a sentinel in
+    both engines so the hash compare is representation-independent
+    (documents.lang/source are non-null by construction, TESTDATA.md)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("__all__")).alias("lang"),
+            F.coalesce("source", F.lit("__all__")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k (SURVEY §2.2 "sorts / limits / top-k"):
+    orderBy+limit compiles to TakeOrderedAndProject — a per-partition
+    bounded heap + driver merge of k rows, NOT a global sort; the
+    exchange carries k rows per partition regardless of input size.
+    Ties broken by key so the row SET is deterministic."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("l_orderkey"))
+        .limit(100)
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 appx. C hygiene step): Bloom over
     the eval split's distinct 5-grams, map-side probe of every train
@@ -1470,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dupngram_fraction": _q_dupngram_fraction,
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "rollup_doc_counts": _q_rollup_doc_counts,
+        "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
         "chunk_sliding": _q_chunk_sliding,
         "pack_sequences": _q_pack_sequences,
@@ -1626,6 +1666,20 @@ def oracle_sql() -> dict[str, str]:
             eval_pred="doc_id % 31 = 0", train_pred="doc_id % 31 != 0",
         ),
         "repetition_stats": duckdb_repetition_sql("documents", "doc_id", "text", 3),
+        "rollup_doc_counts": """
+            SELECT coalesce(lang, '__all__') AS lang,
+                   coalesce(source, '__all__') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "topk_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            ORDER BY total_qty DESC, l_orderkey
+            LIMIT 100
+        """,
         "grouped_distinct": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
