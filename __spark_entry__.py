@@ -1221,6 +1221,48 @@ def _q_transcript_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cbf_retract_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed retraction with a counting Bloom filter (the deletion
+    the reference's insert-only filters can't express,
+    src/SkmerSplitter.cpp:62-89): corpus CBF built over even-user turns,
+    a SECOND mergeable CBF built over the retracted sub-multiset
+    (user_id % 4 == 0 — a takedown/decontamination carve-out), counter
+    SUBTRACT = exact distributed delete (equals a fresh build on the
+    remainder, property-tested in tests/test_sketches.py::TestCBF).
+    Probe turns (odd users) prefilter against the survivor CBF — zero
+    false negatives for surviving texts, so the exact broadcast confirm
+    restores precision and the result ≡ the oracle's IN-subquery on the
+    surviving corpus (user_id % 4 == 2)."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+        with_might_contain,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    corpus = tr.where(F.col("user_id") % 2 == 0)
+    retract = tr.where(F.col("user_id") % 4 == 0)
+    survivors = corpus.where(F.col("user_id") % 4 == 2)
+    probe = tr.where(F.col("user_id") % 2 == 1)
+    spec = [SketchSpec("c", "cbf", "text", {"m_slots": 1 << 20, "k": 5})]
+    built = build_sketches(corpus, spec)["c"]
+    gone = build_sketches(retract, spec)["c"]
+    remaining = built.subtract(gone)
+    cand = with_might_contain(probe, "text", remaining)
+    confirmed = (
+        cand.where("might_contain")
+        .join(F.broadcast(survivors.select("text").distinct()), "text", "left_semi")
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_seen"))
+    )
+    return (
+        probe.groupBy("conv_id")
+        .agg(F.count("*").cast("long").alias("n_turns"))
+        .join(confirmed, "conv_id", "left")
+        .select("conv_id", "n_turns", F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"))
+    )
+
+
 def _q_transcript_hll_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-conversation cardinality on the transcript shape +
     bound check vs exact."""
@@ -1522,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
         "transcript_seen_text": _q_transcript_seen_text,
+        "cbf_retract_seen": _q_cbf_retract_seen,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
@@ -1717,6 +1760,15 @@ def oracle_sql() -> dict[str, str]:
             probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
             SELECT conv_id, COUNT(*) AS n_turns,
                    CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+            FROM probe GROUP BY conv_id
+        """,
+        "cbf_retract_seen": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            survivors AS (SELECT text FROM transcripts WHERE user_id % 4 = 2),
+            probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN text IN (SELECT text FROM survivors)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
             FROM probe GROUP BY conv_id
         """,

@@ -2,6 +2,7 @@
 
 from .base import MergeableSketch, merge_all, sketch_class
 from .bloom import BloomSketch, ReferenceBloom, optimal_params
+from .cbf import CBFSketch
 from .cms import CMSSketch
 from .hashing import double_hash_indices, splitmix64, to_u64, xorshift32_batch, xorshift32_scalar
 from .hll import HLLSketch
@@ -17,6 +18,7 @@ __all__ = [
     "BloomSketch",
     "ReferenceBloom",
     "optimal_params",
+    "CBFSketch",
     "CMSSketch",
     "HLLSketch",
     "KLLSketch",

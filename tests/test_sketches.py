@@ -555,3 +555,121 @@ class TestMG:
             s.estimate_hashes(np.array([1, 2], dtype=np.int64)), [0, 0]
         )
         assert s.error_bound() == 0.0
+
+
+# ---------------------------------------------------------------- cbf
+class TestCBF:
+    """Counting Bloom filter: the deletion-capable Bloom (Fan et al.).
+    Key property under test: subtract of a contained sub-multiset is
+    COUNTER-EXACT equal to a fresh build on the remainder, so zero-FN
+    and the published FPR bound both survive deletion."""
+
+    def test_insert_probe_zero_fn(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        h = _hashes(30_000, seed=11)
+        c = CBFSketch(1 << 19, 5).update_hashes(h)
+        assert c.probe_hashes(h).all()
+        assert c.net_insert_count() == h.size
+
+    def test_delete_equals_fresh_build_on_remainder(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        h = _hashes(20_000, seed=12)
+        gone, keep = h[:8_000], h[8_000:]
+        c = CBFSketch(1 << 18, 4).update_hashes(h).delete_hashes(gone)
+        fresh = CBFSketch(1 << 18, 4).update_hashes(keep)
+        assert np.array_equal(c.counters, fresh.counters)
+        assert c.probe_hashes(keep).all()  # zero FN after deletion
+        assert c.net_insert_count() == keep.size
+
+    def test_duplicate_key_multiset_semantics(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        key = np.array([12345], dtype=np.int64)
+        c = CBFSketch(1 << 10, 7)
+        c.update_hashes(np.repeat(key, 3)).delete_hashes(key)
+        assert c.probe_hashes(key).all()  # 2 copies remain
+        c.delete_hashes(np.repeat(key, 2))
+        assert not c.probe_hashes(key).any()
+        assert c.net_insert_count() == 0
+        assert not c.counters.any()
+
+    def test_underflow_raises_and_restores(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        c = CBFSketch(1 << 12, 4).update_hashes(_hashes(50, seed=13))
+        before = c.counters.copy()
+        with pytest.raises(ValueError, match="underflow"):
+            c.delete_hashes(_hashes(200, seed=14))
+        assert np.array_equal(c.counters, before)  # failed delete rolled back
+
+    def test_subtract_is_distributed_deletion(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        h = _hashes(15_000, seed=15)
+        gone, keep = h[:5_000], h[5_000:]
+        corpus = CBFSketch(1 << 18, 5).update_hashes(h)
+        retract = CBFSketch(1 << 18, 5).update_hashes(gone)
+        rem = corpus.subtract(retract)
+        fresh = CBFSketch(1 << 18, 5).update_hashes(keep)
+        assert np.array_equal(rem.counters, fresh.counters)
+        # operands untouched
+        assert corpus.net_insert_count() == h.size
+        with pytest.raises(ValueError, match="underflow"):
+            retract.subtract(corpus)
+
+    def test_merge_laws_counter_exact_and_partition_invariance(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        parts = [_hashes(4000, seed=s) for s in range(4)]
+        whole = CBFSketch(1 << 16, 4).update_hashes(np.concatenate(parts))
+        for nparts in (2, 4, 8):
+            chunks = np.array_split(np.concatenate(parts), nparts)
+            merged = merge_all(
+                [CBFSketch(1 << 16, 4).update_hashes(ch).to_bytes() for ch in chunks]
+            )
+            assert np.array_equal(whole.counters, merged.counters)
+        a = CBFSketch(1 << 16, 4).update_hashes(parts[0])
+        b = CBFSketch(1 << 16, 4).update_hashes(parts[1])
+        ab = CBFSketch.from_bytes(a.to_bytes()).merge(b)
+        ba = CBFSketch.from_bytes(b.to_bytes()).merge(a)
+        assert np.array_equal(ab.counters, ba.counters)
+
+    def test_fpr_bound_after_deletion(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        n, n_del = 20_000, 12_000
+        h = _hashes(n, seed=16)
+        absent = _hashes(100_000, seed=17)
+        c = CBFSketch(1 << 18, 4).update_hashes(h).delete_hashes(h[:n_del])
+        surviving = n - n_del
+        bound = c.fpr_bound(surviving)
+        observed = c.probe_hashes(absent).mean()
+        slack = 5 * math.sqrt(bound * (1 - bound) / absent.size)
+        assert observed <= bound + slack + 1e-9
+
+    def test_serde_roundtrip_sparse_and_dense(self):
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        sparse = CBFSketch(1 << 16, 4).update_hashes(_hashes(100, seed=18))
+        rt = MergeableSketch.from_bytes(sparse.to_bytes())
+        assert isinstance(rt, CBFSketch)
+        assert np.array_equal(rt.counters, sparse.counters)
+        dense = CBFSketch(1 << 8, 4).update_hashes(_hashes(5_000, seed=19))
+        rt2 = MergeableSketch.from_bytes(dense.to_bytes())
+        assert np.array_equal(rt2.counters, dense.counters)
+        assert (rt2.m_slots, rt2.k) == (dense.m_slots, dense.k)
+
+    def test_probe_matches_plain_bloom_support(self):
+        """A CBF's positive-counter support IS the plain Bloom bit set
+        over the same keys (same double-hash indexing, same m) — the
+        whole Bloom probe/FPR analysis carries over."""
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        h = _hashes(10_000, seed=20)
+        q = _hashes(50_000, seed=21)
+        c = CBFSketch(1 << 17, 5).update_hashes(h)
+        b = BloomSketch(1 << 17, 5).update_hashes(h)
+        assert np.array_equal(c.probe_hashes(q), b.probe_hashes(q))
+        assert np.array_equal((c.counters > 0).astype(np.uint8), b.bits)
