@@ -1263,6 +1263,33 @@ def _q_cbf_retract_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_conv_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-reconstruction witness — BASELINE.json input_hint's
+    per-row invariant verbatim: 'per-turn text equality under stable
+    turn ordering'. Each turn hashes (turn_idx ':' text) — position
+    baked into the payload — and the per-conversation combine is
+    bit_xor of the two 32-bit md5 words: any changed text at any
+    position, any missing/extra turn, and any turn_idx reassignment
+    flips the witness, while the xor itself is order-INDEPENDENT, so
+    the aggregate is map-side combinable and the conv_id exchange
+    carries 16 bytes per (partition, conversation) instead of the full
+    ordered text lists a collect_list/string_agg reconstruction would
+    shuffle. That is the 100 TB plan: O(convs) shuffle, not O(text)."""
+    tr = _transcripts_from_events(spark, sf_dir)
+    payload = F.md5(F.concat_ws(":", F.col("turn_idx").cast("string"), F.col("text")))
+    h_lo = F.conv(F.substring(payload, 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(payload, 9, 8), 16, 10).cast("long")
+    return (
+        tr.select("conv_id", h_lo.alias("h_lo"), h_hi.alias("h_hi"))
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.expr("bit_xor(h_lo)").alias("w_lo"),
+            F.expr("bit_xor(h_hi)").alias("w_hi"),
+        )
+    )
+
+
 def _q_transcript_hll_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-conversation cardinality on the transcript shape +
     bound check vs exact."""
@@ -1565,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "transcript_seen_text": _q_transcript_seen_text,
         "cbf_retract_seen": _q_cbf_retract_seen,
+        "conv_reconstruct": _q_conv_reconstruct,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
@@ -1762,6 +1790,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
             FROM probe GROUP BY conv_id
+        """,
+        "conv_reconstruct": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            hashed AS (
+                SELECT conv_id,
+                       ('0x' || substr(md5(CAST(turn_idx AS VARCHAR) || ':' || text), 1, 8))::BIGINT AS h_lo,
+                       ('0x' || substr(md5(CAST(turn_idx AS VARCHAR) || ':' || text), 9, 8))::BIGINT AS h_hi
+                FROM transcripts
+            )
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   bit_xor(h_lo) AS w_lo, bit_xor(h_hi) AS w_hi
+            FROM hashed GROUP BY conv_id
         """,
         "cbf_retract_seen": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),
