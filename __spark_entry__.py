@@ -1020,6 +1020,52 @@ def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "exact_distinct", ok.alias("within_bound"))
 
 
+def _q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window distinct — the BATCH twin of the
+    streaming `windowed_counts` op (streaming/sketch_stream.py), under
+    the oracle gate: daily windows keyed by floor(epoch/86400) (integer
+    arithmetic on the instant — identical in both engines, timezone
+    pinned to UTC so unix_timestamp is the same instant math as DuckDB's
+    epoch()), one HLL per window via the grouped build (map-side
+    per-(partition, window) partials, merge exchange carries sketch
+    blobs only), each estimate bound-checked against the exact distinct.
+    Window count is time-bounded (days of data), so the driver-side
+    estimate collect stays O(windows) at any row scale."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec
+    from bloomfilter_multithread_spark.operators.grouped import (
+        build_sketches_grouped,
+        collect_grouped,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day_bucket", F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    )
+    merged = build_sketches_grouped(
+        ev, "day_bucket", [SketchSpec("h", "hll", "user_id", {"p": 12})]
+    )
+    sk = collect_grouped(merged)
+    est = spark.createDataFrame(
+        [(int(g), float(s.estimate()), float(s.rel_error_bound()))
+         for (g, _name), s in sorted(sk.items())],
+        "day_bucket long, est double, bound double",
+    )
+    agg = (
+        ev.join(F.broadcast(est), "day_bucket")
+        .groupBy("day_bucket")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+            F.first("est").alias("_est"),
+            F.first("bound").alias("_bound"),
+        )
+    )
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_distinct")) / F.col("exact_distinct")
+        <= F.lit(4) * F.col("_bound")
+    )
+    return agg.select("day_bucket", "exact_distinct", ok.alias("within_bound"))
+
+
 # --------------------------------------------------------------------------
 # deterministic hash sampling (operators/sampling.py)
 # --------------------------------------------------------------------------
@@ -1559,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_distinct": _q_grouped_distinct,
+        "windowed_distinct": _q_windowed_distinct,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -1756,6 +1803,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "windowed_distinct": """
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),
