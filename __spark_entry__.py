@@ -1309,6 +1309,31 @@ def _q_cbf_retract_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-transition bigram heavy hitters — agent-behavior analytics on
+    the transcript shape: which tool follows which within a conversation.
+    ONE per-conversation window pass (lag over (conv_id, turn_idx) — the
+    same partitioning every transcript query shares, so at scale this
+    co-locates with the conversation bucketing), a map-side-combinable
+    count aggregate on the (prev_tool, tool) pair, and a bounded top-50
+    via TakeOrderedAndProject (k rows per partition on the final
+    exchange, never a global sort). Ties broken by the pair so the row
+    SET is deterministic."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        tr.withColumn("prev_tool", F.lag("tool").over(w))
+        .where(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    return pairs.orderBy(
+        F.desc("n_transitions"), F.asc("prev_tool"), F.asc("tool")
+    ).limit(50)
+
+
 def _q_conv_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-reconstruction witness — BASELINE.json input_hint's
     per-row invariant verbatim: 'per-turn text equality under stable
@@ -1640,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_seen_text": _q_transcript_seen_text,
         "cbf_retract_seen": _q_cbf_retract_seen,
         "conv_reconstruct": _q_conv_reconstruct,
+        "tool_transitions": _q_tool_transitions,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
@@ -1843,6 +1869,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
             FROM probe GROUP BY conv_id
+        """,
+        "tool_transitions": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            lagged AS (
+                SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                           AS prev_tool,
+                       tool
+                FROM transcripts
+            )
+            SELECT prev_tool, tool,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM lagged WHERE prev_tool IS NOT NULL
+            GROUP BY prev_tool, tool
+            ORDER BY n_transitions DESC, prev_tool, tool
+            LIMIT 50
         """,
         "conv_reconstruct": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),
