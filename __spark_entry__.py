@@ -981,34 +981,36 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "doc_id", "text", k=3)
 
 
-def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-key distinct cardinality via GROUPED HLL sketches ("distinct
-    users per event type") — the hash-input twin of grouped_quantiles'
-    value sketches: map-side per-group partials, applyInPandas merge,
-    estimates bound-checked per group against the exact distinct in one
-    aggregate pass.  Output is the exact counts + the per-group
-    within-bound witness, deterministic under any partitioning."""
+def _grouped_hll_distinct_witness(
+    spark: SparkSession, df: DataFrame, group_col: str, key_ddl: str, key_py,
+    distinct_col: str = "user_id",
+) -> DataFrame:
+    """Shared pipeline behind grouped_distinct / windowed_distinct: one
+    HLL per group via the grouped build (map-side per-(partition, group)
+    partials, applyInPandas merge — the exchange carries sketch blobs,
+    not rows), estimates collected driver-side (O(groups)), broadcast
+    back, and bound-checked per group against the exact distinct in one
+    aggregate pass.  Deterministic under any partitioning."""
     from bloomfilter_multithread_spark.operators.build import SketchSpec
     from bloomfilter_multithread_spark.operators.grouped import (
         build_sketches_grouped,
         collect_grouped,
     )
 
-    ev = _read(spark, sf_dir, "events")
     merged = build_sketches_grouped(
-        ev, "event_type", [SketchSpec("h", "hll", "user_id", {"p": 12})]
+        df, group_col, [SketchSpec("h", "hll", distinct_col, {"p": 12})]
     )
     sk = collect_grouped(merged)
     est = spark.createDataFrame(
-        [(g, float(s.estimate()), float(s.rel_error_bound()))
+        [(key_py(g), float(s.estimate()), float(s.rel_error_bound()))
          for (g, _name), s in sorted(sk.items())],
-        "event_type string, est double, bound double",
+        f"{group_col} {key_ddl}, est double, bound double",
     )
     agg = (
-        ev.join(F.broadcast(est), "event_type")
-        .groupBy("event_type")
+        df.join(F.broadcast(est), group_col)
+        .groupBy(group_col)
         .agg(
-            F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+            F.countDistinct(distinct_col).cast("long").alias("exact_distinct"),
             F.first("est").alias("_est"),
             F.first("bound").alias("_bound"),
         )
@@ -1017,53 +1019,33 @@ def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("_est") - F.col("exact_distinct")) / F.col("exact_distinct")
         <= F.lit(4) * F.col("_bound")
     )
-    return agg.select("event_type", "exact_distinct", ok.alias("within_bound"))
+    return agg.select(group_col, "exact_distinct", ok.alias("within_bound"))
+
+
+def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key distinct cardinality via GROUPED HLL sketches ("distinct
+    users per event type") — the hash-input twin of grouped_quantiles'
+    value sketches.  Output is the exact counts + the per-group
+    within-bound witness (shared pipeline: _grouped_hll_distinct_witness)."""
+    ev = _read(spark, sf_dir, "events")
+    return _grouped_hll_distinct_witness(spark, ev, "event_type", "string", str)
 
 
 def _q_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window distinct — the BATCH twin of the
     streaming `windowed_counts` op (streaming/sketch_stream.py), under
-    the oracle gate: daily windows keyed by floor(epoch/86400) (integer
-    arithmetic on the instant — identical in both engines, timezone
-    pinned to UTC so unix_timestamp is the same instant math as DuckDB's
-    epoch()), one HLL per window via the grouped build (map-side
-    per-(partition, window) partials, merge exchange carries sketch
-    blobs only), each estimate bound-checked against the exact distinct.
-    Window count is time-bounded (days of data), so the driver-side
-    estimate collect stays O(windows) at any row scale."""
-    from bloomfilter_multithread_spark.operators.build import SketchSpec
-    from bloomfilter_multithread_spark.operators.grouped import (
-        build_sketches_grouped,
-        collect_grouped,
-    )
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    the oracle gate: daily windows keyed by floor(epoch/86400).  For a
+    TimestampType column `unix_timestamp` is pure instant arithmetic
+    (the internal epoch, independent of the session timezone), and
+    DuckDB reads the same parquet INT64 micros as naive-UTC, so
+    epoch(ts) yields the identical number — no timezone pinning needed
+    on either side.  One HLL per window via the shared grouped-witness
+    pipeline; window count is time-bounded (days of data), so the
+    driver-side estimate collect stays O(windows) at any row scale."""
     ev = _read(spark, sf_dir, "events").withColumn(
         "day_bucket", F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
     )
-    merged = build_sketches_grouped(
-        ev, "day_bucket", [SketchSpec("h", "hll", "user_id", {"p": 12})]
-    )
-    sk = collect_grouped(merged)
-    est = spark.createDataFrame(
-        [(int(g), float(s.estimate()), float(s.rel_error_bound()))
-         for (g, _name), s in sorted(sk.items())],
-        "day_bucket long, est double, bound double",
-    )
-    agg = (
-        ev.join(F.broadcast(est), "day_bucket")
-        .groupBy("day_bucket")
-        .agg(
-            F.countDistinct("user_id").cast("long").alias("exact_distinct"),
-            F.first("est").alias("_est"),
-            F.first("bound").alias("_bound"),
-        )
-    )
-    ok = (
-        F.abs(F.col("_est") - F.col("exact_distinct")) / F.col("exact_distinct")
-        <= F.lit(4) * F.col("_bound")
-    )
-    return agg.select("day_bucket", "exact_distinct", ok.alias("within_bound"))
+    return _grouped_hll_distinct_witness(spark, ev, "day_bucket", "long", int)
 
 
 # --------------------------------------------------------------------------
@@ -1209,7 +1191,7 @@ _TRANSCRIPTS_SQL = """
            CASE WHEN event_type IN ('click', 'view') THEN 'user'
                 WHEN event_type = 'error' THEN 'tool'
                 ELSE 'assistant' END AS role,
-           event_type || ' ' || props AS text,
+           event_type || ' ' || coalesce(props, '') AS text,
            event_type AS tool,
            ts
     FROM events
@@ -1229,7 +1211,11 @@ def _transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "tool")
         .otherwise("assistant")
         .alias("role"),
-        F.concat_ws(" ", "event_type", "props").alias("text"),
+        # concat (not concat_ws) + coalesce: concat_ws silently SKIPS a
+        # null props while SQL '||' propagates it — the two engines would
+        # diverge on a null-props row; coalesce pins one semantics in both
+        F.concat(F.col("event_type"), F.lit(" "), F.coalesce(F.col("props"), F.lit("")))
+        .alias("text"),
         F.col("event_type").alias("tool"),
         "ts",
     )

@@ -279,10 +279,14 @@ _PROBE_CACHE_MAX_BYTES = 1 << 30
 
 
 def _resident_bytes(sk: MergeableSketch, blob_len: int) -> int:
-    """Worst-case in-memory footprint of a cached sketch."""
-    m = getattr(sk, "m_bits", 0)
-    if m:  # bloom: byte-per-bit unpacked working form
-        return int(m)
+    """Worst-case in-memory footprint of a cached sketch — asks the
+    sketch itself (``resident_nbytes``, e.g. Bloom's unpacked byte-per-
+    bit form or CBF's int64 counter array, both of which can dwarf a
+    sparse wire blob); wire length is only the fallback for kinds whose
+    working form is the deserialized payload itself."""
+    n = sk.resident_nbytes()
+    if n is not None:
+        return int(n)
     return max(blob_len, 1)
 
 

@@ -94,6 +94,15 @@ class MergeableSketch(ABC):
     def merge_bytes(self, data: bytes) -> "MergeableSketch":
         return self.merge(MergeableSketch.from_bytes(data))
 
+    def resident_nbytes(self) -> int | None:
+        """Worst-case in-memory working-form footprint, for byte-bounded
+        caches (operators.build probe cache). None = "my working form is
+        ~the wire payload" (caller falls back to the blob length);
+        sketches whose working form inflates far beyond a sparse wire
+        encoding (Bloom's byte-per-bit array, CBF's int64 counters)
+        override this."""
+        return None
+
 
 def sketch_class(name: str) -> type[MergeableSketch]:
     return _BY_NAME[name]

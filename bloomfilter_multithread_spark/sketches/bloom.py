@@ -296,6 +296,10 @@ class BloomSketch(MergeableSketch):
         """Published (1 - e^{-kn/m})^k for n inserted keys."""
         return (1.0 - math.exp(-self.k * n_inserted / self.m_bits)) ** self.k
 
+    def resident_nbytes(self) -> int:
+        # probe working form is the unpacked byte-per-bit array
+        return self.m_bits
+
     def estimate(self, h) -> np.ndarray:
         return self.probe_hashes(h)
 

@@ -87,9 +87,12 @@ class CBFSketch(MergeableSketch):
         false negatives; here it is a loud error instead."""
         idx = self._indices(h)
         if idx.size:
-            np.subtract.at(self.counters, idx.ravel(), 1)
-            if self.counters.min() < 0:
-                np.add.at(self.counters, idx.ravel(), 1)  # restore
+            flat = idx.ravel()
+            np.subtract.at(self.counters, flat, 1)
+            # only touched slots can have gone negative (everything else
+            # is >= 0 by invariant) — O(batch*k) check, not O(m_slots)
+            if self.counters[flat].min() < 0:
+                np.add.at(self.counters, flat, 1)  # restore
                 raise ValueError("CBF delete of key(s) never inserted (counter underflow)")
         return self
 
@@ -128,7 +131,10 @@ class CBFSketch(MergeableSketch):
         """Exact net multiset size (inserts - deletes): every insert adds
         exactly k to sum(counters), every delete removes exactly k."""
         total = int(self.counters.sum())
-        assert total % self.k == 0
+        if total % self.k:
+            raise ValueError(
+                f"corrupt CBF state: sum(counters)={total} not divisible by k={self.k}"
+            )
         return total // self.k
 
     def fpr_bound(self, n_items: int) -> float:
@@ -139,6 +145,12 @@ class CBFSketch(MergeableSketch):
 
     def estimate(self, h) -> np.ndarray:
         return self.probe_hashes(h)
+
+    def resident_nbytes(self) -> int:
+        # working form is the full int64 counter array regardless of how
+        # sparse the wire payload was — byte-bounded caches must account
+        # for THIS, not the blob length
+        return self.m_slots * 8
 
     # -- serialization -------------------------------------------------------
     # sparse: (uint32 idx, uint32 count) of nonzero slots — the

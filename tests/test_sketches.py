@@ -673,3 +673,18 @@ class TestCBF:
         b = BloomSketch(1 << 17, 5).update_hashes(h)
         assert np.array_equal(c.probe_hashes(q), b.probe_hashes(q))
         assert np.array_equal((c.counters > 0).astype(np.uint8), b.bits)
+
+    def test_resident_nbytes_reflects_working_form(self):
+        """Byte-bounded caches (operators.build probe cache) must account
+        the deserialized working form, not the (possibly sparse) wire
+        blob: a near-empty CBF serializes to ~KBs but materializes the
+        full int64 counter array."""
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        c = CBFSketch(1 << 20, 4).update_hashes(_hashes(10, seed=22))
+        assert len(c.to_bytes()) < 2_000
+        assert c.resident_nbytes() == (1 << 20) * 8
+        b = BloomSketch(1 << 20, 4)
+        assert b.resident_nbytes() == 1 << 20
+        from bloomfilter_multithread_spark.sketches import KLLSketch
+        assert KLLSketch.create().resident_nbytes() is None
