@@ -1295,6 +1295,94 @@ def _q_cbf_retract_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface evidence (SURVEY §2.2 "SQL surface / parser /
+    catalog" — absent in the reference, free in Spark): the TPC-H-Q1
+    pricing-summary shape expressed as a literal `spark.sql(...)` string
+    over a registered temp view, not the DataFrame DSL.  Float sums are
+    kept integer-exact cross-engine by flooring the price per row BEFORE
+    the sum (floor of a double is bit-deterministic in both engines;
+    summing doubles directly would expose rounding-order differences).
+    One hash-aggregate over a 2-value x 2-value key — fully
+    whole-stage-codegen, map-side partial aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS BIGINT)                    AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice) AS BIGINT))        AS sum_price_fl,
+               CAST(COUNT(*) AS BIGINT)                           AS count_order
+        FROM lineitem_v
+        WHERE l_quantity <= 30
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+def _q_sql_udf_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-registration surface (SURVEY §2.2 — the reference has no
+    registration surface at all): the broadcast Bloom probe registered
+    into the catalog (`register_probe_udf`) and invoked from a literal
+    `spark.sql` string (`WHERE bloom_seen(xxhash64(text))`), with the
+    exact IN-subquery confirm and per-conversation assembly ALSO in SQL
+    — the whole reference query phase as one SQL statement.  Result ≡
+    transcript_seen_text (same corpus/probe split), so the oracle is
+    the same exact IN-subquery; the Bloom prefilter can only drop
+    non-members (zero FN) and the confirm restores precision."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+        register_probe_udf,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    corpus = tr.where(F.col("user_id") % 2 == 0)
+    probe = tr.where(F.col("user_id") % 2 == 1)
+    bloom = build_sketches(
+        corpus, [SketchSpec("b", "bloom", "text", {"m_bits": 1 << 20, "k": 5})]
+    )["b"]
+    register_probe_udf(spark, bloom, "bloom_seen")
+    corpus.select("text").distinct().createOrReplaceTempView("seen_corpus_v")
+    probe.createOrReplaceTempView("seen_probe_v")
+    return spark.sql("""
+        WITH cand AS (
+            SELECT conv_id, text FROM seen_probe_v
+            WHERE bloom_seen(xxhash64(text))
+        ),
+        confirmed AS (
+            SELECT conv_id, COUNT(*) AS n_seen FROM cand
+            WHERE text IN (SELECT text FROM seen_corpus_v)
+            GROUP BY conv_id
+        ),
+        turns AS (
+            SELECT conv_id, COUNT(*) AS n_turns FROM seen_probe_v
+            GROUP BY conv_id
+        )
+        SELECT t.conv_id,
+               CAST(t.n_turns AS BIGINT) AS n_turns,
+               CAST(COALESCE(c.n_seen, 0) AS BIGINT) AS n_seen
+        FROM turns t LEFT JOIN confirmed c ON t.conv_id = c.conv_id
+    """)
+
+
+def _q_set_ops_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level set operations (SURVEY §2.2 "set operations" — the
+    reference only has bit-level OR): INTERSECT / EXCEPT / UNION-
+    DISTINCT cardinalities between the even-user and odd-user distinct
+    text vocabularies of the transcript corpus, computed with Spark's
+    built-in set operators (each compiles to an aggregate/join over
+    hashed keys — one shuffle per side, no quadratic work) and mirrored
+    by the identical ANSI set operators in the oracle.  This is the
+    EXACT counterpart the sketch algebra approximates (bloom_setops /
+    hll_setops / kmv_setops bound-check against exactly these shapes)."""
+    tr = _transcripts_from_events(spark, sf_dir)
+    a = tr.where(F.col("user_id") % 2 == 0).select("text").distinct()
+    b = tr.where(F.col("user_id") % 2 == 1).select("text").distinct()
+    ni = a.intersect(b).agg(F.count("*").cast("long").alias("n_intersect"))
+    ne = a.exceptAll(b).agg(F.count("*").cast("long").alias("n_except"))
+    nu = a.union(b).distinct().agg(F.count("*").cast("long").alias("n_union"))
+    return ni.crossJoin(ne).crossJoin(nu)
+
+
 def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-transition bigram heavy hitters — agent-behavior analytics on
     the transcript shape: which tool follows which within a conversation.
@@ -1652,6 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbf_retract_seen": _q_cbf_retract_seen,
         "conv_reconstruct": _q_conv_reconstruct,
         "tool_transitions": _q_tool_transitions,
+        "sql_pricing_summary": _q_sql_pricing_summary,
+        "sql_udf_seen": _q_sql_udf_seen,
+        "set_ops_rows": _q_set_ops_rows,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
@@ -1855,6 +1946,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
             FROM probe GROUP BY conv_id
+        """,
+        "sql_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT)             AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS sum_price_fl,
+                   CAST(COUNT(*) AS BIGINT)                    AS count_order
+            FROM lineitem
+            WHERE l_quantity <= 30
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_udf_seen": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            corpus AS (SELECT text FROM transcripts WHERE user_id % 2 = 0),
+            probe AS (SELECT * FROM transcripts WHERE user_id % 2 = 1)
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+            FROM probe GROUP BY conv_id
+        """,
+        "set_ops_rows": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            a AS (SELECT DISTINCT text FROM transcripts WHERE user_id % 2 = 0),
+            b AS (SELECT DISTINCT text FROM transcripts WHERE user_id % 2 = 1)
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM (SELECT text FROM a INTERSECT SELECT text FROM b)) AS n_intersect,
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM (SELECT text FROM a EXCEPT SELECT text FROM b))    AS n_except,
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM (SELECT text FROM a UNION SELECT text FROM b))     AS n_union
         """,
         "tool_transitions": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),

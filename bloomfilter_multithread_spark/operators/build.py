@@ -359,3 +359,30 @@ def with_cms_estimate(df: DataFrame, key: str | Column, sketch, out_col: str = "
 
     key_col = F.expr(key) if isinstance(key, str) else key
     return df.withColumn(out_col, est(F.xxhash64(key_col)))
+
+
+def register_probe_udf(spark, sketch, name: str = "might_contain_udf") -> str:
+    """Register the broadcast sketch probe as a SQL-callable function
+    (SURVEY §2.2 UDF-registration surface — absent in the reference,
+    whose 'API' is main() plus three worker functions): after
+    ``register_probe_udf(spark, bloom, "bloom_seen")``, any
+    ``spark.sql`` string can write ``WHERE bloom_seen(xxhash64(text))``.
+    Same execution shape as with_might_contain — broadcast blob,
+    worker-cached deserialization, Arrow-batched vectorized probe,
+    map-side only — just exposed through the catalog instead of the
+    DataFrame DSL.  Returns the registered name."""
+    import uuid
+
+    blob = sketch.to_bytes() if isinstance(sketch, MergeableSketch) else bytes(sketch)
+    bc = spark.sparkContext.broadcast(blob)
+    token = uuid.uuid4().hex
+
+    @F.pandas_udf(BooleanType())
+    def probe(h):
+        import pandas as pd
+
+        sk = _cached_from_bytes(token, bc.value)
+        return pd.Series(sk.probe_hashes(h.to_numpy(dtype=np.int64, na_value=0)))
+
+    spark.udf.register(name, probe)
+    return name
