@@ -1295,6 +1295,28 @@ def _q_cbf_retract_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rank_convs_per_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (SURVEY §2.2 "window ranking/analytic functions"):
+    top-3 conversations per tool by turn count — the canonical
+    top-N-per-group, solved with ONE rank() window over the per-group
+    counts instead of a global sort (the count aggregate is map-side
+    combinable; the rank window shuffles one row per (tool, conv), and
+    the filter keeps 3 per tool).  Ties broken by conv_id so the row
+    set is deterministic in both engines."""
+    from pyspark.sql import Window
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    counts = tr.groupBy("tool", "conv_id").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )
+    w = Window.partitionBy("tool").orderBy(F.desc("n_turns"), F.asc("conv_id"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("tool", "conv_id", "n_turns", "rnk")
+    )
+
+
 def _q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface evidence (SURVEY §2.2 "SQL surface / parser /
     catalog" — absent in the reference, free in Spark): the TPC-H-Q1
@@ -1740,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbf_retract_seen": _q_cbf_retract_seen,
         "conv_reconstruct": _q_conv_reconstruct,
         "tool_transitions": _q_tool_transitions,
+        "rank_convs_per_tool": _q_rank_convs_per_tool,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "sql_udf_seen": _q_sql_udf_seen,
         "set_ops_rows": _q_set_ops_rows,
@@ -1946,6 +1969,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN text IN (SELECT text FROM corpus)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
             FROM probe GROUP BY conv_id
+        """,
+        "rank_convs_per_tool": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            counts AS (
+                SELECT tool, conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+                FROM transcripts GROUP BY tool, conv_id
+            ),
+            ranked AS (
+                SELECT tool, conv_id, n_turns,
+                       CAST(rank() OVER (PARTITION BY tool
+                            ORDER BY n_turns DESC, conv_id) AS BIGINT) AS rnk
+                FROM counts
+            )
+            SELECT tool, conv_id, n_turns, rnk FROM ranked WHERE rnk <= 3
         """,
         "sql_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
