@@ -688,3 +688,36 @@ class TestCBF:
         assert b.resident_nbytes() == 1 << 20
         from bloomfilter_multithread_spark.sketches import KLLSketch
         assert KLLSketch.create().resident_nbytes() is None
+
+    def test_delete_law_property_random_multisets(self):
+        """Property (hypothesis): for ANY multiset of keys and ANY
+        sub-multiset selection, insert-all-then-delete-selected is
+        counter-exact equal to a fresh build on the complement — the
+        law the distributed subtract() retraction relies on."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=-(2**62), max_value=2**62),
+                    st.booleans(),
+                ),
+                max_size=200,
+            )
+        )
+        def run(pairs):
+            h = np.array([k for k, _ in pairs], dtype=np.int64)
+            mask = np.array([d for _, d in pairs], dtype=bool)
+            c = CBFSketch(1 << 12, 3).update_hashes(h).delete_hashes(h[mask])
+            fresh = CBFSketch(1 << 12, 3).update_hashes(h[~mask])
+            assert np.array_equal(c.counters, fresh.counters)
+            sub = CBFSketch(1 << 12, 3).update_hashes(h).subtract(
+                CBFSketch(1 << 12, 3).update_hashes(h[mask])
+            )
+            assert np.array_equal(sub.counters, fresh.counters)
+
+        run()
