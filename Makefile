@@ -3,7 +3,7 @@
 PKG = bloomfilter_multithread_spark
 DIST = dist/$(PKG).zip
 
-.PHONY: dist submit-demo test bench clean
+.PHONY: dist submit-demo submit-demo-cluster test bench clean
 
 dist:
 	mkdir -p dist
@@ -19,6 +19,21 @@ submit-demo: dist
 	  --input synth:20000 \
 	  --bloom-key text --capacity 200000 --blocked --route \
 	  --state /tmp/sketch_state_demo
+
+# REAL multi-executor evidence: local-cluster[2,2,2048] launches two
+# separate executor JVMs (own block managers, real serialization +
+# broadcast + shuffle across process boundaries). Unlike local[*], the
+# executors' Python workers can only import the package through the
+# --py-files zip — this target is the strongest in-sandbox proof of the
+# north rule's deployment path. Same job, same state layout.
+submit-demo-cluster: dist
+	spark-submit --master 'local-cluster[2,2,2048]' \
+	  --conf spark.executor.memory=1g \
+	  --conf spark.sql.shuffle.partitions=8 \
+	  --py-files $(DIST) scripts/submit_build.py \
+	  --input synth:20000 \
+	  --bloom-key text --capacity 200000 --blocked --route \
+	  --state /tmp/sketch_state_demo_cluster
 
 test:
 	python -m pytest tests/ -q
