@@ -253,6 +253,42 @@ def _scale_worker(cores: int) -> None:
     }))
 
 
+def _scale_worker_execs(n_execs: int) -> None:
+    """Fresh-JVM scaling worker at N REAL EXECUTOR PROCESSES — the north
+    rule's literal "N and 4N executors": master local-cluster[N,2,2048]
+    launches N separate executor JVMs (2 cores each, own block managers),
+    so every routed-exchange partial and broadcast crosses a genuine
+    process boundary. Same fixed decomposition (SCALE_PARTITIONS) and
+    same shingle-Bloom job as the local[N] protocol; executor Python
+    workers import the package via executorEnv.PYTHONPATH (the
+    --py-files route is separately gated by tests/test_local_cluster.py)."""
+    from bloomfilter_multithread_spark.sources.io import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spark = get_spark(
+        app=f"bench-scale-cluster-{n_execs}",
+        master=f"local-cluster[{n_execs},2,2048]",
+        shuffle_partitions=SCALE_PARTITIONS, driver_memory="8g",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.executor.memory": "1536m",
+            "spark.executorEnv.PYTHONPATH": repo,
+            "spark.local.dir": os.path.join(BENCH_DIR, f"spark-local-lc{n_execs}"),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    turns, shingles, times = shingle_bloom_job(spark, cores=2 * n_execs)
+    spark.stop()
+    med = statistics.median(times)
+    print(json.dumps({
+        "execs": n_execs, "cores": 2 * n_execs,
+        "turns": turns, "shingles": shingles,
+        "times": [round(t, 3) for t in sorted(times)],
+        "sec": round(med, 3), "sec_best": round(min(times), 3),
+        "tps": round(turns / med, 1), "tps_best": round(turns / min(times), 1),
+    }))
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -403,5 +439,7 @@ if __name__ == "__main__":
         _scale_worker(int(sys.argv[2]))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--build-worker":
         _build_worker(int(sys.argv[2]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--scale-worker-execs":
+        _scale_worker_execs(int(sys.argv[2]))
     else:
         main()
