@@ -3,7 +3,7 @@
 PKG = bloomfilter_multithread_spark
 DIST = dist/$(PKG).zip
 
-.PHONY: dist submit-demo submit-demo-cluster test bench clean
+.PHONY: dist submit-demo submit-demo-cluster probe-demo test bench clean
 
 dist:
 	mkdir -p dist
@@ -19,6 +19,18 @@ submit-demo: dist
 	  --input synth:20000 \
 	  --bloom-key text --capacity 200000 --blocked --route \
 	  --state /tmp/sketch_state_demo
+
+# the reference's QUERY phase as its own application: a second
+# spark-submit job that shares only the persisted state dir with the
+# build (run after submit-demo). The probe input deliberately overlaps
+# the build corpus (same seed, 25k vs 20k convs): the first 20k convs
+# must all hit (zero FN), the tail hits only at the FPR.
+probe-demo: dist
+	spark-submit --master 'local[8]' \
+	  --conf spark.sql.shuffle.partitions=8 \
+	  --py-files $(DIST) scripts/submit_probe.py \
+	  --state /tmp/sketch_state_demo \
+	  --input synth:25000 --sketch bloom_key --key text
 
 # REAL multi-executor evidence: local-cluster[2,2,2048] launches two
 # separate executor JVMs (own block managers, real serialization +

@@ -48,3 +48,54 @@ def test_make_submit_demo_runs_end_to_end(tmp_path):
             assert os.path.exists(src), f"zip member {n} missing from tree"
             with open(src, "rb") as f:
                 assert z.read(n) == f.read(), f"zip member {n} differs from tree"
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None or shutil.which("make") is None,
+    reason="spark-submit/make not on PATH",
+)
+def test_probe_demo_query_phase(spark, tmp_path):
+    """The reference's QUERY phase (main.cpp:149-284) as its own Spark
+    application: `make probe-demo` loads the build job's persisted state
+    and probes a 25k-conv input whose first 20k convs ARE the build
+    corpus. Gates: (a) the job runs end to end and reports sane counts,
+    (b) zero false negatives — every build-corpus text probes true in
+    the state the second application loaded."""
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bloomfilter_multithread_spark.operators.build import load_sketches
+    from bloomfilter_multithread_spark.sources.transcripts import synth_transcripts
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_LOCAL_DIRS", str(tmp_path / "spark-local"))
+    if not os.path.exists(os.path.join(STATE, "_SUCCESS")):
+        out = subprocess.run(["make", "submit-demo"], cwd=REPO, env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    out = subprocess.run(["make", "probe-demo"], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    m = re.search(r"probed (\d+) rows against 'bloom_key': (\d+) might-contain hits",
+                  out.stdout)
+    assert m, out.stdout[-2000:]
+    n_rows, n_hits = int(m.group(1)), int(m.group(2))
+
+    tr = synth_transcripts(spark, n_convs=25000, seed=42)
+    n_total = tr.count()
+    n_build = tr.where(F.col("conv_id") < "conv-00020000").count()
+    assert n_rows == n_total
+    # every build-corpus row must hit (zero FN); the 5k-conv tail adds
+    # extra hits (shared short texts + Bloom FPs), never removes any
+    assert n_build <= n_hits <= n_total
+
+    # exact zero-FN against the very state the probe application loaded
+    sk = load_sketches(spark, STATE, ["bloom_key"])["bloom_key"]
+    hashes = np.array(
+        [r[0] for r in tr.where(F.col("conv_id") < "conv-00020000")
+         .select(F.xxhash64("text")).distinct().collect()],
+        dtype=np.int64,
+    )
+    assert sk.probe_hashes(hashes).all()
