@@ -101,9 +101,11 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
     of serialized partials with per-partition lineage (partition_id,
     n_rows) — the checkpointable unit for resumable builds.
 
-    ``route_for`` names a BLOCKED bloom spec (params carry ``block_bits``):
-    the projection is exchanged on that spec's hash-block id, so every
-    partition's bloom partial touches only its own cache-resident blocks —
+    ``route_for`` names a BLOCKED spec — a bloom with ``block_bits`` or a
+    cbf with ``block_slots`` (both pick the block from the hash's top
+    bits, so the routing expression is identical): the projection is
+    exchanged on that spec's hash-block id, so every partition's partial
+    touches only its own cache-resident blocks —
     the reference's `hmin % q` minimizer routing (SkmerExtractor.cpp:164)
     as an explicit Spark repartition. The merged result is identical with
     or without routing (merge is associative+commutative; property-tested);
@@ -114,10 +116,11 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
     proj = df.select(*[_input_col(s) for s in specs])
     if route_for:
         spec = next(s for s in specs if s.name == route_for)
-        bb = int(spec.params.get("block_bits", 0))
-        mb = int(spec.params["m_bits"])
-        if not bb or mb % bb:
-            raise ValueError("route_for requires a bloom spec with block_bits")
+        bb = int(spec.params.get("block_bits", 0) or spec.params.get("block_slots", 0))
+        mb = int(spec.params.get("m_bits", 0) or spec.params.get("m_slots", 0))
+        if not bb or not mb or mb % bb:
+            raise ValueError(
+                "route_for requires a blocked spec (bloom block_bits / cbf block_slots)")
         nb_log2 = int(math.log2(mb // bb))
         block = F.shiftrightunsigned(F.col(spec.name), 64 - nb_log2)
         nparts = route_partitions or df.sparkSession.sparkContext.defaultParallelism

@@ -721,3 +721,47 @@ class TestCBF:
             assert np.array_equal(sub.counters, fresh.counters)
 
         run()
+
+    def test_blocked_build_partition_invariance_and_serde(self):
+        """Blocked CBF (block_slots): per-partition block-local partials
+        merge to the same dense counters as one whole build, the partial
+        wire form is (block ids, counts) of OWNED blocks only, and the
+        delete/subtract laws hold through the blocked path."""
+        from bloomfilter_multithread_spark.sketches import CBFSketch
+
+        h = _hashes(20_000, seed=23)
+        mk = dict(m_slots=1 << 16, k=4, block_slots=1 << 10)
+        whole = CBFSketch(**mk).update_hashes(h)
+        for nparts in (2, 8):
+            parts = np.array_split(h, nparts)
+            partials = [CBFSketch(**mk).update_hashes(p) for p in parts]
+            merged = merge_all([p.to_bytes() for p in partials])
+            assert np.array_equal(whole.counters, merged.counters)
+        # ROUTED partials (exchange on the hash's top block bits, as
+        # build_partials(route_for=...) does) own disjoint block subsets:
+        # each serializes O(owned blocks), well under the dense form, and
+        # the merge is pure dict union — still equal to the whole build
+        blk = (h.view(np.uint64) >> np.uint64(64 - 6)).astype(np.int64)  # 64 blocks
+        routed = [CBFSketch(**mk).update_hashes(h[blk % 8 == p]) for p in range(8)]
+        dense_bytes = (1 << 16) * 4
+        assert all(len(p.to_bytes()) < dense_bytes // 4 for p in routed)
+        merged_routed = merge_all([p.to_bytes() for p in routed])
+        assert np.array_equal(whole.counters, merged_routed.counters)
+        # probe semantics: zero FN, and blocked indexing differs from
+        # unblocked by design (block chosen from top hash bits)
+        assert whole.probe_hashes(h).all()
+        # delete + subtract laws through the blocked path
+        gone, keep = h[:7_000], h[7_000:]
+        fresh = CBFSketch(**mk).update_hashes(keep)
+        deleted = CBFSketch(**mk).update_hashes(h).delete_hashes(gone)
+        assert np.array_equal(deleted.counters, fresh.counters)
+        sub = CBFSketch(**mk).update_hashes(h).subtract(
+            CBFSketch(**mk).update_hashes(gone))
+        assert np.array_equal(sub.counters, fresh.counters)
+        # merged dense roundtrip preserves block geometry; mixed-geometry
+        # merge refuses
+        rt = MergeableSketch.from_bytes(whole.to_bytes())
+        assert rt.block_slots == 1 << 10
+        assert np.array_equal(rt.counters, whole.counters)
+        with pytest.raises(ValueError, match="param mismatch"):
+            CBFSketch(1 << 16, 4).merge(whole)

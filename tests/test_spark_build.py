@@ -171,3 +171,20 @@ def test_routed_blocked_build_equals_unrouted(spark, corpus):
     plain = build_sketches(corpus, spec)
     routed = build_sketches(corpus, spec, route_for="b")
     assert plain["b"].to_bytes() == routed["b"].to_bytes()
+
+
+def test_routed_blocked_cbf_build_equals_unrouted(spark, corpus):
+    """route_for generalizes to the blocked CBF (block_slots): the routed
+    exchange must not change the merged counters (counter-add merge is
+    associative+commutative), and the retraction subtract works on the
+    routed-build result."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    spec = [SketchSpec("c", "cbf", "text",
+                       {"m_slots": 1 << 20, "k": 5, "block_slots": 1 << 16})]
+    plain = build_sketches(corpus, spec)
+    routed = build_sketches(corpus, spec, route_for="c")
+    assert plain["c"].to_bytes() == routed["c"].to_bytes()
+    # retraction on the routed result: subtract the whole corpus -> empty
+    empty = routed["c"].subtract(plain["c"])
+    assert empty.net_insert_count() == 0
