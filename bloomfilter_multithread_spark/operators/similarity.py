@@ -219,10 +219,79 @@ def ivf_cells_udf(pivots: list[list[float]], n_probe: int):
     return cells
 
 
+def train_ivf_pivots(vectors: DataFrame, dim: int = 64, n_cells: int = 16,
+                     iters: int = 3, seed: int = 42,
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical k-means (Lloyd's) refinement of the seeded random
+    codebook — upgrades IVF recall from the no-training baseline without
+    changing the query path (pass the result as ``ivf_topk(pivots=...)``).
+
+    Each iteration is ONE distributed pass: a mapInArrow stage assigns
+    every vector to its nearest pivot (the same float64 matmul as
+    ``ivf_cells_udf``) and emits per-(partition, cell) partial sums —
+    O(P * n_cells * dim) rows total, independent of the vector count —
+    which the driver combines in sorted (partition_id, cell) order so
+    float addition order is FIXED: the trained codebook is deterministic
+    for a given input partitioning. Centroids re-normalize to unit
+    length (cosine objective); empty cells keep their previous pivot.
+
+    At 100 TB: train on a hash-sample (operators.sampling.hash_sample) —
+    k-means centroids converge on a fraction of the data, and the
+    assignment pass is the same O(sample * n_cells * dim) matmul."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    pivots = np.array(_ivf_pivots(dim, n_cells, seed), dtype=np.float64)
+    proj = vectors.select(F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        piv = pivots  # capture current codebook by value
+
+        def partials(batches):
+            sums = np.zeros((n_cells, dim), dtype=np.float64)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for batch in batches:
+                v = np.array(batch.column(0).to_pylist(), dtype=np.float64)
+                if v.size == 0:
+                    continue
+                s = (v @ piv.T) / np.linalg.norm(v, axis=1, keepdims=True)
+                cell = np.argmax(s, axis=1)
+                np.add.at(sums, cell, v)
+                np.add.at(counts, cell, 1)
+            pid = TaskContext.get().partitionId()
+            nz = np.flatnonzero(counts)
+            yield pa.RecordBatch.from_pydict({
+                "partition_id": [pid] * nz.size,
+                "cell": nz.astype("int32"),
+                "count": counts[nz],
+                "sums": [sums[c].tobytes() for c in nz],
+            }, schema=pa.schema([("partition_id", pa.int32()),
+                                 ("cell", pa.int32()),
+                                 ("count", pa.int64()),
+                                 ("sums", pa.binary())]))
+
+        rows = proj.mapInArrow(
+            partials, schema="partition_id int, cell int, count long, sums binary"
+        ).collect()
+        sums = np.zeros((n_cells, dim), dtype=np.float64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        # sorted combine ⇒ fixed float addition order ⇒ deterministic
+        for r in sorted(rows, key=lambda r: (r["partition_id"], r["cell"])):
+            sums[r["cell"]] += np.frombuffer(bytes(r["sums"]), dtype=np.float64)
+            counts[r["cell"]] += r["count"]
+        new = pivots.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        pivots = new / norms
+    return pivots.tolist()
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
              n_cells: int = 16, n_probe: int = 4, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+             qid_col: str = "query_id", qvec_col: str = "embedding",
+             pivots: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN top-k: each vector is assigned to its nearest of
     ``n_cells`` seeded unit pivots (coarse quantization); a query scans
     only its ``n_probe`` nearest cells. The candidate join is a
@@ -230,8 +299,14 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10, dim: int = 64,
     is bucketed/partitioned BY CELL on disk, so a probe touches
     n_probe/n_cells of the data and nothing else. Exact cosine rerank on
     candidates; recall depends on n_probe (cell-boundary neighbors are
-    the loss mode, same trade-off as any IVF index)."""
-    pivots = _ivf_pivots(dim, n_cells, seed)
+    the loss mode, same trade-off as any IVF index).
+
+    ``pivots`` defaults to the seeded random codebook (the oracle-
+    mirrorable baseline — the contract query inlines these as SQL
+    literals); pass ``train_ivf_pivots(...)`` output for trained-recall
+    production use."""
+    if pivots is None:
+        pivots = _ivf_pivots(dim, n_cells, seed)
     top1_udf = ivf_cells_udf(pivots, 1)
     probe_udf = ivf_cells_udf(pivots, n_probe)
     vb = vectors.select(

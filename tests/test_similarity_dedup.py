@@ -253,3 +253,38 @@ def test_lsh_candidate_join_is_equijoin(spark, emb):
     brute_plan = brute_force_topk(emb, q, k=5, qid_col="vec_id")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in brute_plan  # brute is the broadcast path
+
+
+def test_trained_ivf_pivots_deterministic_and_improve_recall(spark, emb):
+    """Spherical-k-means training (train_ivf_pivots): (a) deterministic —
+    two trainings on the same input give the identical codebook (the
+    driver combines per-(partition, cell) partials in sorted order, so
+    float addition order is fixed); (b) recall@10 with the trained
+    codebook is at least the random-codebook baseline's (k-means pulls
+    pivots toward the data's actual direction clusters, so cells cut
+    through fewer true neighborhoods)."""
+    from bloomfilter_multithread_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_pivots,
+    )
+
+    trained = train_ivf_pivots(emb, dim=64, n_cells=16, iters=3)
+    again = train_ivf_pivots(emb, dim=64, n_cells=16, iters=3)
+    assert trained == again  # exact float equality — determinism
+
+    q = emb.where("vec_id % 50 = 0")
+    brute = brute_force_topk(emb, q, k=10, qid_col="vec_id").collect()
+    want = {(r["query_id"], r["vec_id"]) for r in brute}
+
+    def recall(pivots):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(emb, q, k=10, dim=64, n_cells=16, n_probe=4,
+                              qid_col="vec_id", pivots=pivots).collect()
+        }
+        return len(want & got) / len(want)
+
+    r_random = recall(None)
+    r_trained = recall(trained)
+    assert r_trained >= r_random, (r_trained, r_random)
+    assert r_trained >= 0.5, r_trained
