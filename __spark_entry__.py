@@ -1067,6 +1067,20 @@ def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): weighted size-64 sample
+    of documents by n_chars with the unbiased subset-sum estimator —
+    priorities are a pure projection over the scan, top-(k+1) compiles
+    to TakeOrderedAndProject (bounded heap, never a global sort), and
+    every emitted number is an integer floor of doubles that are
+    bit-identical cross-engine (hash-uniform + IEEE division), so the
+    oracle pins row-level sample membership AND the estimate."""
+    from bloomfilter_multithread_spark.operators.sampling import priority_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return priority_sample(docs, "doc_id", "n_chars", k=64, seed="p1")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum sampling fractions (per-source quotas / class
     rebalancing) as one codegen'd CASE threshold over the same
@@ -1756,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "fingerprint": _q_fingerprint,
         "hash_sample": _q_hash_sample,
+        "priority_sample": _q_priority_sample,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample": _q_weighted_sample,
         "consistent_sample_join": _q_consistent_sample_join,
@@ -1825,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.operators.sampling import (
         duckdb_group_sample_sql,
         duckdb_hash_bucket_sql,
+        duckdb_priority_sample_sql,
     )
     from bloomfilter_multithread_spark.operators.decontam import (
         duckdb_decontaminate_sql,
@@ -2208,6 +2224,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE {doc_bucket} < 200000
         """,
+        "priority_sample": duckdb_priority_sample_sql(
+            "documents", "doc_id", "n_chars", k=64, seed="p1"
+        ),
         "weighted_sample": f"""
             SELECT doc_id, n_chars
             FROM documents

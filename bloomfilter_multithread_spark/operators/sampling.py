@@ -29,7 +29,7 @@ module is part of the LLM-pipeline companion surface (SURVEY.md §2's
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_hash_col
@@ -154,4 +154,71 @@ def duckdb_group_sample_sql(table: str, key: str, group: str, n: int,
                      AS sample_rank
             FROM {table})
         WHERE sample_rank <= {n}
+    """
+
+
+def priority_sample(df: DataFrame, key: Column | str, weight: Column | str,
+                    k: int, seed: str = "", buckets: int = BUCKETS) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a weighted
+    size-k sample supporting UNBIASED subset-sum estimates.
+
+    Each row gets priority ``pri = w / u`` with ``u`` the deterministic
+    hash-uniform in (0, 1] (``(hash_bucket + 1) / buckets`` — same
+    retry/partitioning-invariant, cross-engine-mirrorable uniform the
+    rest of this module uses); the sample is the top k priorities, and
+    with ``tau`` = the (k+1)-th priority, each sampled row's estimator
+    ``max(w, tau)`` sums to an unbiased estimate of the TOTAL weight
+    (heavy rows enter with probability ~1 and count exactly; light rows
+    are up-weighted by their inclusion odds).
+
+    Scale shape: priorities are a pure projection; top-(k+1) compiles to
+    TakeOrderedAndProject — a bounded per-partition heap, k+1 rows per
+    partition on the final exchange, never a global sort.
+
+    Returns the k sampled rows as (key, w, pri_floor, est_milli) where
+    ``est_milli`` (constant across rows) is the floor-milli subset-sum
+    estimate of df's total weight — all integers, so the oracle compare
+    is exact (the underlying doubles are bit-identical cross-engine:
+    IEEE division of identical operands)."""
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = (hash_bucket(kc, seed, buckets) + F.lit(1)).cast("double") / F.lit(float(buckets))
+    pri = df.select(
+        kc.alias("key"), wc.alias("w"), (wc / u).alias("pri")
+    )
+    topk1 = pri.orderBy(F.desc("pri"), F.asc("key")).limit(k + 1)
+    tau = topk1.agg(F.min("pri").alias("tau"))
+    samp = topk1.orderBy(F.desc("pri"), F.asc("key")).limit(k)
+    return (
+        samp.crossJoin(F.broadcast(tau))
+        .withColumn("est_item", F.greatest(F.col("w"), F.col("tau")))
+        .withColumn("est_milli",
+                    F.floor(F.sum("est_item").over(Window.partitionBy()) * 1000).cast("long"))
+        .select(
+            "key",
+            F.col("w").cast("long").alias("w"),
+            F.floor("pri").cast("long").alias("pri_floor"),
+            "est_milli",
+        )
+    )
+
+
+def duckdb_priority_sample_sql(table: str, key: str, weight: str, k: int,
+                               seed: str = "", buckets: int = BUCKETS) -> str:
+    """Exact DuckDB mirror of :func:`priority_sample`."""
+    u = f"(({duckdb_hash_bucket_sql(key, seed, buckets)} + 1) / {float(buckets)})"
+    return f"""
+        WITH pri AS (
+            SELECT {key} AS key, CAST({weight} AS DOUBLE) AS w,
+                   CAST({weight} AS DOUBLE) / {u} AS pri
+            FROM {table}
+        ),
+        topk1 AS (SELECT * FROM pri ORDER BY pri DESC, key LIMIT {k + 1}),
+        tau AS (SELECT MIN(pri) AS tau FROM topk1),
+        samp AS (SELECT * FROM topk1 ORDER BY pri DESC, key LIMIT {k})
+        SELECT key, CAST(w AS BIGINT) AS w,
+               CAST(FLOOR(pri) AS BIGINT) AS pri_floor,
+               (SELECT CAST(FLOOR(SUM(GREATEST(w, (SELECT tau FROM tau))) * 1000)
+                       AS BIGINT) FROM samp) AS est_milli
+        FROM samp
     """

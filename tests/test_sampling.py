@@ -235,3 +235,41 @@ class TestGroupSampleTopK:
 
         with pytest.raises(ValueError):
             group_sample_topk(docs, "doc_id", "source", n=0)
+
+
+class TestPrioritySample:
+    def test_estimator_near_total_and_deterministic(self, docs):
+        """DLT priority sampling: the subset-sum estimator over the k
+        sampled rows approximates the exact total weight (relative error
+        ~1/sqrt(k) — 4/sqrt(k) slack), heavy rows always enter, and the
+        whole output is deterministic across reruns/partitionings."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from bloomfilter_multithread_spark.operators.sampling import priority_sample
+
+        k = 64
+        s = priority_sample(docs, "doc_id", "n_chars", k=k, seed="t")
+        rows = s.collect()
+        assert len(rows) == k
+        est = rows[0]["est_milli"] / 1000.0
+        exact = docs.agg(F.sum("n_chars")).first()[0]
+        assert abs(est - exact) / exact <= 4 / math.sqrt(k), (est, exact)
+        # deterministic under a different partitioning
+        again = priority_sample(docs.repartition(13), "doc_id", "n_chars",
+                                k=k, seed="t").collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        # the heaviest row has the top inclusion odds: w_max / u >= w_max,
+        # so it outranks any row with w <= w_max * u_min — check it's in
+        w_max = docs.agg(F.max("n_chars")).first()[0]
+        sampled_w = {r["w"] for r in rows}
+        assert max(sampled_w) >= 0.5 * w_max
+
+    def test_topk_plan_is_bounded_heap(self, docs):
+        from bloomfilter_multithread_spark.operators.sampling import priority_sample
+
+        s = priority_sample(docs, "doc_id", "n_chars", k=16)
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan  # no global sort stage
