@@ -942,6 +942,27 @@ def _q_rollup_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE twin of `rollup_doc_counts` (SURVEY §2.2 names grouping
+    sets/cube/rollup): adds the cross level ((), source) that rollup
+    omits — still ONE Expand + single hash aggregate, 4 grouping sets
+    materialized in a single pass over the scan."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("__all__")).alias("lang"),
+            F.coalesce("source", F.lit("__all__")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed top-k (SURVEY §2.2 "sorts / limits / top-k"):
     orderBy+limit compiles to TakeOrderedAndProject — a per-partition
@@ -1764,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "rollup_doc_counts": _q_rollup_doc_counts,
+        "cube_doc_counts": _q_cube_doc_counts,
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
         "chunk_sliding": _q_chunk_sliding,
@@ -1936,6 +1958,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "cube_doc_counts": """
+            SELECT coalesce(lang, '__all__') AS lang,
+                   coalesce(source, '__all__') AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY CUBE(lang, source)
         """,
         "topk_orders": """
             SELECT l_orderkey,
