@@ -208,6 +208,43 @@ class TestHLL:
         s2 = MergeableSketch.from_bytes(s.to_bytes())
         assert np.array_equal(s.registers, s2.registers) and s2.p == 10
 
+    def test_sparse_wire_roundtrip_and_size(self):
+        # 50 distinct values in a p=14 sketch -> <=50 non-zero registers;
+        # the sparse payload must beat the 16 KiB dense form by >10x and
+        # round-trip register-exact
+        s = HLLSketch(p=14).update_hashes(_hashes(50, seed=21))
+        blob = s.to_bytes()
+        assert len(blob) < (1 << 14) / 10
+        s2 = MergeableSketch.from_bytes(blob)
+        assert np.array_equal(s.registers, s2.registers) and s2.p == 14
+
+    def test_dense_wire_used_when_full(self):
+        s = HLLSketch(p=10).update_hashes(_hashes(100_000, seed=22))
+        assert len(s.to_bytes()) >= (1 << 10)  # dense mode kicks in
+        s2 = MergeableSketch.from_bytes(s.to_bytes())
+        assert np.array_equal(s.registers, s2.registers)
+
+    def test_sparse_dense_blobs_interoperate_in_merge(self):
+        # a sparse-serialized partial merged into a dense one must give
+        # the same registers as merging the in-memory sketches directly
+        small = HLLSketch(p=12).update_hashes(_hashes(30, seed=23))
+        big = HLLSketch(p=12).update_hashes(_hashes(200_000, seed=24))
+        via_wire = MergeableSketch.from_bytes(big.to_bytes()).merge_bytes(small.to_bytes())
+        direct = big.copy().merge(small.copy())
+        assert np.array_equal(via_wire.registers, direct.registers)
+
+    def test_v1_blob_rejected(self):
+        import struct as _struct
+
+        import pytest
+
+        from bloomfilter_multithread_spark.sketches.base import _HEADER, _MAGIC
+
+        payload = _struct.pack("<I", 10) + b"\x00" * (1 << 10)
+        v1 = _HEADER.pack(_MAGIC, HLLSketch.KIND_ID, 1, len(payload)) + payload
+        with pytest.raises(ValueError, match="v1"):
+            MergeableSketch.from_bytes(v1)
+
 
 # ---------------------------------------------------------------- cms
 class TestCMS:
