@@ -1469,6 +1469,49 @@ def _q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+def _q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the tool-transition graph — iterative dataflow on
+    the transcript shape: rank tools by the stationary visit probability
+    of the transition chain `tool_transitions` counts. 3 power
+    iterations in 64-bit integer fixed-point (operators/graph.py), so
+    every per-edge contribution is an exact integer and the result is
+    bit-identical to the unrolled-CTE DuckDB mirror regardless of
+    summation order. Scale shape: edges built with ONE window pass +
+    one groupBy; each iteration broadcasts the O(|tools|) rank table to
+    the edge join (plan-asserted in tests/test_graph.py) and moves only
+    map-side-combined longs."""
+    from pyspark.sql import Window
+
+    from bloomfilter_multithread_spark.operators.graph import pagerank_fixed_point
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    edges = (
+        tr.withColumn("prev_tool", F.lag("tool").over(w))
+        .where(F.col("prev_tool").isNotNull())
+        .groupBy(F.col("prev_tool").alias("src"), F.col("tool").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    ranks = pagerank_fixed_point(edges, n_iters=3)
+    return ranks.select(F.col("node").alias("tool"), "rank_fp")
+
+
+def _pagerank_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.graph import duckdb_pagerank_sql
+
+    edges_cte = f"""
+        SELECT prev_tool AS src, tool AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM (SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                         AS prev_tool,
+                     tool
+              FROM ({_TRANSCRIPTS_SQL}))
+        WHERE prev_tool IS NOT NULL
+        GROUP BY prev_tool, tool
+    """
+    inner = duckdb_pagerank_sql(edges_cte, n_iters=3)
+    return f"SELECT node AS tool, rank_fp FROM ({inner})"
+
+
 def _q_conv_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-reconstruction witness — BASELINE.json input_hint's
     per-row invariant verbatim: 'per-turn text equality under stable
@@ -1803,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbf_retract_seen": _q_cbf_retract_seen,
         "conv_reconstruct": _q_conv_reconstruct,
         "tool_transitions": _q_tool_transitions,
+        "pagerank_tools": _q_pagerank_tools,
         "rank_convs_per_tool": _q_rank_convs_per_tool,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "sql_udf_seen": _q_sql_udf_seen,
@@ -2063,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT CAST(COUNT(*) AS BIGINT)
                FROM (SELECT text FROM a UNION SELECT text FROM b))     AS n_union
         """,
+        "pagerank_tools": _pagerank_oracle_sql(),
         "tool_transitions": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),
             lagged AS (

@@ -1,0 +1,143 @@
+"""Iterative graph algorithms over edge DataFrames — PageRank.
+
+The reference engine has no graph surface; this generalizes its
+aggregate-over-stream shape to ITERATIVE dataflow (the one pattern the
+other operators don't exercise: a driver loop whose every step is a
+distributed join + aggregate). The concrete consumer is agent-behavior
+analytics on the transcript shape: rank tools by stationary visit
+probability of the tool-transition chain (which tool does an agent
+"live in"), the graph being the same lag-window bigrams the
+``tool_transitions`` heavy-hitter query counts.
+
+Scale shape (the 100 TB plan):
+  - the EDGE table is the big thing (one window pass + one groupBy over
+    all turns builds it); it is joined once per iteration.
+  - the RANK table is O(|nodes|) — per-tool, i.e. tiny — and is
+    BROADCAST to the edge join, so no iteration reshuffles edges.
+  - per-iteration contribution sums are map-side combinable longs.
+  - the only driver traffic is two scalars per iteration (node count is
+    hoisted; dangling mass is one 8-byte aggregate), not row data.
+
+Numerics: everything is 64-bit integer fixed-point (``scale`` units =
+rank 1.0). Per-edge contributions use integer division, so sums are
+order-free and the result is BIT-EXACT across engines and partition
+counts — a floating-point PageRank would diverge between Spark's and
+DuckDB's summation orders. Integer floor loses at most 1 unit per
+division, i.e. total mass drifts by < (|edges| + 2·|nodes|) units per
+iteration out of 10^12 — quantified, and irrelevant at rank precision.
+All quantities stay < 2^63: scale=10^12, so r·w needs w < 9·10^6·|N|
+which per-pair transition counts satisfy by orders of magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Power-iteration PageRank on weighted edges (src, dst, w) in exact
+    integer fixed-point.
+
+    Per iteration, with d = num/den and N nodes:
+      r'(v) = ((den-num)·scale) div (den·N)          -- teleport
+            + (num·dangling_mass) div (den·N)        -- dangling share
+            + (num · Σ_{u→v} (r(u)·w) div outw(u)) div den
+
+    Returns (node string, rank_fp long) with Σ rank_fp ≈ scale (floor
+    losses only, see module docstring). Deterministic: every operation
+    is integer arithmetic over exact aggregates.
+    """
+    num, den = damping
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # static across iterations: carry each edge's out-weight once
+    e_n = e.join(outw, "src").persist()
+    out_nodes = outw.select(F.col("src").alias("node"))
+
+    ranks = nodes.select("node", F.lit(int(scale // n)).cast("long").alias("r"))
+    for _ in range(n_iters):
+        ranks = ranks.persist()
+        # dangling mass: rank parked on nodes with no out-edges — one
+        # 8-byte scalar to the driver, not a row collect
+        dang = int(
+            ranks.join(out_nodes, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        insum = (
+            e_n.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"), F.expr("(r * w) div ow").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        base = ((den - num) * scale) // (den * n) + (num * dang) // (den * n)
+        ranks = nodes.join(insum, "node", "left").select(
+            "node",
+            (F.lit(base) + F.expr(f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}"))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.withColumnRenamed("r", "rank_fp")
+
+
+def duckdb_pagerank_sql(
+    edges_cte: str,
+    n_iters: int = 3,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB mirror of :func:`pagerank_fixed_point` — the iterations
+    unrolled as CTEs over an ``edges(src, dst, w)`` CTE body supplied by
+    the caller. Identical integer arithmetic (`//` ≡ Spark `div` on
+    BIGINT; all values non-negative so floor == trunc), hence hash-exact
+    against the Spark result."""
+    num, den = damping
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)",
+        f"it0 AS (SELECT node, (SELECT {scale} // n FROM nn) AS r FROM nodes)",
+    ]
+    for t in range(1, n_iters + 1):
+        prev = f"it{t - 1}"
+        parts.append(
+            f"""it{t} AS (
+              SELECT nd.node,
+                     ((({den} - {num}) * {scale}) // ({den} * (SELECT n FROM nn)))
+                   + (({num} * (SELECT COALESCE(SUM(r.r), 0) FROM {prev} r
+                                LEFT JOIN outw o ON r.node = o.src
+                                WHERE o.src IS NULL)) // ({den} * (SELECT n FROM nn)))
+                   + (({num} * COALESCE(s.s, 0)) // {den}) AS r
+              FROM nodes nd LEFT JOIN (
+                  SELECT e.dst AS node, SUM((r.r * e.w) // o.ow) AS s
+                  FROM edges e
+                  JOIN {prev} r ON e.src = r.node
+                  JOIN outw o ON e.src = o.src
+                  GROUP BY e.dst) s ON nd.node = s.node
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, r AS rank_fp FROM it{n_iters}"
+    )
