@@ -1725,6 +1725,57 @@ def _q_streaming_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream time-band join under the correctness
+    gate: errors and clicks arrive as TWO live file streams; for each
+    error, the clicks by the same user in the preceding hour are joined
+    stream-side (streaming/joins.py), written out with an AvailableNow
+    barrier, and compared row-for-row to the batch inequality-join
+    oracle. The watermark delay is set beyond the fixture's 30-day span
+    so the gate checks JOIN SEMANTICS exactly; the state-eviction /
+    late-drop behavior that bounds state at scale is pinned separately
+    in tests/test_stream_join.py."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.streaming.joins import stream_time_band_join
+    from bloomfilter_multithread_spark.streaming.sketch_stream import (
+        read_parquet_stream,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.where("event_type = 'error'").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = ev.where("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    out_schema = "user_id long, err_id long, click_id long"
+    with tempfile.TemporaryDirectory() as td:
+        errors.coalesce(2).write.parquet(f"{td}/errors")
+        clicks.coalesce(2).write.parquet(f"{td}/clicks")
+        es = read_parquet_stream(
+            spark, f"{td}/errors", schema="user_id long, err_id long, err_ts timestamp"
+        )
+        cs = read_parquet_stream(
+            spark, f"{td}/clicks", schema="user_id long, click_id long, click_ts timestamp"
+        )
+        joined = stream_time_band_join(
+            es, cs, "user_id", "err_ts", "click_ts", band_seconds=3600,
+            watermark_delay="40 days",
+        )
+        q = (
+            joined.select("user_id", "err_id", "click_id")
+            .writeStream.format("parquet")
+            .option("path", f"{td}/out")
+            .option("checkpointLocation", f"{td}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [tuple(r) for r in spark.read.schema(out_schema).parquet(f"{td}/out").collect()]
+    return spark.createDataFrame(rows, out_schema)
+
+
 def _q_checkpoint_resume_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumability under the correctness gate (north rule: 'resumable
     from checkpoint with per-partition lineage + metrics'): the corpus
@@ -1858,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
+        "stream_join_errors": _q_stream_join_errors,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         "bloom_fpr": _q_bloom_fpr,
     }
@@ -2241,6 +2293,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
                    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM probe WHERE text IN (SELECT text FROM corpus)
+        """,
+        "stream_join_errors": """
+            SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
         """,
         "bloom_fpr": """
             SELECT COUNT(*) AS n_probed, TRUE AS fpr_within_bound FROM customer
