@@ -849,6 +849,52 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(approx, exact, k=10)
 
 
+def _q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (64 → 16 dims) with a
+    per-pair distortion witness, in EXACT integer arithmetic end to end:
+    embeddings are quantized (floor(f64(v)·2^14) — exact in both
+    engines), projected by a seeded ±1 Rademacher matrix (one
+    Arrow-batched int64 matmul; Achlioptas 2003), and each consecutive
+    vec_id pair reports its original and projected squared distances as
+    BIGINTs plus ratio_bp = (10^4·d2_proj) div (16·d2_orig) ≈ 10^4 in
+    expectation (E‖S·x‖² = k‖x‖² for unscaled ±1 rows). The oracle
+    replays the identical pipeline with the sign matrix inlined as
+    literals — hash-exact, no floating-point margins to argue about.
+    Scale shape: the projection is a stateless narrow map (no shuffle);
+    at 100 TB it runs in the scan stage and cuts every downstream
+    vector shuffle by dim_out/dim."""
+    from bloomfilter_multithread_spark.operators.similarity import (
+        rademacher_signs,
+        rp_project_int,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    signs = rademacher_signs(dim=64, out_dim=16, seed=77)
+    proj = rp_project_int(emb, signs, quant=16384)
+    a = proj.where("vec_id % 2 = 0").select(
+        F.col("vec_id").alias("pair_id"), F.col("q").alias("qa"), F.col("p").alias("pa")
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("pair_id"), F.col("q").alias("qb"), F.col("p").alias("pb")
+    )
+    sq = "(acc, x) -> acc + x"
+    d2 = lambda u, v: F.expr(  # noqa: E731 — exact int64 fold, fixed order
+        f"aggregate(zip_with({u}, {v}, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), {sq})"
+    )
+    return (
+        a.join(b, "pair_id")
+        .select(
+            "pair_id",
+            d2("qa", "qb").alias("d2_orig"),
+            d2("pa", "pb").alias("d2_proj"),
+        )
+        .select(
+            "pair_id", "d2_orig", "d2_proj",
+            F.expr("(10000 * d2_proj) div (16 * d2_orig)").alias("ratio_bp"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis family (documents table)
 # --------------------------------------------------------------------------
@@ -1496,6 +1542,15 @@ def _q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("tool"), "rank_fp")
 
 
+def _jl_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.similarity import (
+        duckdb_rp_sql,
+        rademacher_signs,
+    )
+
+    return duckdb_rp_sql(rademacher_signs(dim=64, out_dim=16, seed=77), quant=16384)
+
+
 def _pagerank_oracle_sql() -> str:
     from bloomfilter_multithread_spark.operators.graph import duckdb_pagerank_sql
 
@@ -1873,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "jl_distortion": _q_jl_distortion,
         "lang_quality": _q_lang_quality,
         "pii_scrub": _q_pii_scrub,
         "dupngram_fraction": _q_dupngram_fraction,
@@ -2036,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
                                 k=10, query_pred="vec_id % 50 = 0"),
             k=10, query_pred="vec_id % 50 = 0",
         ),
+        "jl_distortion": _jl_oracle_sql(),
         "lang_quality": f"""
             SELECT l.doc_id, l.lang_pred, q.quality_bp
             FROM ({duckdb_lang_id('documents')}) l

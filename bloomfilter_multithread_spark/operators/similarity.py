@@ -23,6 +23,7 @@ rounding used in query outputs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -602,3 +603,87 @@ def cosine_pairs_brute(vectors: DataFrame, threshold_bp: int = 4000,
         .where(F.col("cosine_bp") >= threshold_bp)
         .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine_bp")
     )
+
+
+# ------------------------------------------------- JL random projection
+
+def rademacher_signs(dim: int, out_dim: int, seed: int) -> list[list[int]]:
+    """Seeded ±1 Johnson–Lindenstrauss projection matrix (out_dim x dim).
+    Rademacher entries (Achlioptas 2003: ±1 matches the Gaussian JL
+    guarantee) keep the whole pipeline in INTEGER arithmetic once inputs
+    are quantized — the property that makes the oracle hash-exact."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(out_dim, dim)) * 2 - 1).tolist()
+
+
+def rp_project_int(vectors: DataFrame, signs: list[list[int]],
+                   quant: int = 16384, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Project float vectors to ``len(signs)`` integer coordinates:
+    q = floor(float64(v) * quant) per coordinate (exact: f32→f64 is
+    exact, quant is a power of two, floor is IEEE), then p = S·q with
+    S ∈ {-1,+1}^{k x d} — an int64 matmul whose sums are order-free.
+
+    One Arrow-batched pandas UDF does quantize+matmul per batch (the
+    same hot-path shape as the LSH bucket matmul); the quantized vector
+    is also returned so distance checks reuse the identical integers.
+    Unscaled projection: E‖p_a − p_b‖² = k·‖q_a − q_b‖², so distortion
+    checks use the integer ratio (10^4·d2_proj) div (k·d2_orig).
+
+    Bounds (why nothing overflows): |v| ≤ ~1 (unit-norm inputs) →
+    |q| ≤ quant; |p| ≤ d·quant; d2_orig ≤ d·(2·quant)²; d2_proj ≤
+    k·(2·d·quant)²; with d=64, k≤32, quant=2^14 the ratio numerator
+    stays < 2^62."""
+    mat = np.array(signs, dtype=np.int64)  # (k, d)
+
+    @F.pandas_udf("struct<q: array<long>, p: array<long>>")
+    def project(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"q": [], "p": []})
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.floor(v * quant).astype(np.int64)
+        p = q @ mat.T
+        return pd.DataFrame({"q": list(q), "p": list(p)})
+
+    return vectors.select(F.col(id_col), project(F.col(vec_col)).alias("qp")).select(
+        id_col, F.col("qp.q").alias("q"), F.col("qp.p").alias("p")
+    )
+
+
+def duckdb_rp_sql(signs: list[list[int]], quant: int = 16384,
+                  table: str = "embeddings", id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> str:
+    """DuckDB mirror of rp_project_int feeding the pair-distortion
+    query: the sign matrix inlined as literal VALUES rows, the same
+    quantization, integer sums (order-free), and the same integer-division
+    ratio — hash-exact against the Spark side."""
+    k = len(signs)
+    rows = ", ".join(
+        f"({j}, {c}, {s})" for j, row in enumerate(signs) for c, s in enumerate(row)
+    )
+    return f"""
+        WITH signs(j, c, s) AS (VALUES {rows}),
+        quantized AS (
+            SELECT {id_col} AS vid, generate_subscripts({vec_col}, 1) - 1 AS c,
+                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {quant}) AS BIGINT) AS qi
+            FROM {table}
+        ),
+        proj AS (
+            SELECT q.vid, sg.j, SUM(sg.s * q.qi) AS pj
+            FROM quantized q JOIN signs sg ON q.c = sg.c
+            GROUP BY q.vid, sg.j
+        ),
+        pair_orig AS (
+            SELECT a.vid AS pair_id, SUM((a.qi - b.qi) * (a.qi - b.qi)) AS d2_orig
+            FROM quantized a JOIN quantized b ON b.vid = a.vid + 1 AND a.c = b.c
+            WHERE a.vid % 2 = 0 GROUP BY a.vid
+        ),
+        pair_proj AS (
+            SELECT a.vid AS pair_id, SUM((a.pj - b.pj) * (a.pj - b.pj)) AS d2_proj
+            FROM proj a JOIN proj b ON b.vid = a.vid + 1 AND a.j = b.j
+            WHERE a.vid % 2 = 0 GROUP BY a.vid
+        )
+        SELECT o.pair_id, o.d2_orig, p.d2_proj,
+               (10000 * p.d2_proj) // ({k} * o.d2_orig) AS ratio_bp
+        FROM pair_orig o JOIN pair_proj p USING (pair_id)
+    """

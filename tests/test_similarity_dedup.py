@@ -288,3 +288,76 @@ def test_trained_ivf_pivots_deterministic_and_improve_recall(spark, emb):
     r_trained = recall(trained)
     assert r_trained >= r_random, (r_trained, r_random)
     assert r_trained >= 0.5, r_trained
+
+
+# ---------------------------------------------------------------- JL projection
+class TestJLProjection:
+    def _emb(self, spark, n=40, dim=64, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal((n, dim))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        rows = [(i, [float(np.float32(x)) for x in v[i]]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), v
+
+    def test_projection_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from bloomfilter_multithread_spark.operators.similarity import (
+            rademacher_signs,
+            rp_project_int,
+        )
+
+        df, _ = self._emb(spark)
+        signs = rademacher_signs(64, 16, seed=7)
+        got = {r["vec_id"]: (r["q"], r["p"]) for r in rp_project_int(df, signs, quant=16384).collect()}
+        mat = np.array(signs, dtype=np.int64)
+        for r in df.collect():
+            q = np.floor(np.array(r["embedding"], dtype=np.float64) * 16384).astype(np.int64)
+            assert list(q) == list(got[r["vec_id"]][0])
+            assert list(q @ mat.T) == list(got[r["vec_id"]][1])
+
+    def test_projection_is_narrow_no_shuffle(self, spark):
+        from bloomfilter_multithread_spark.operators.similarity import (
+            rademacher_signs,
+            rp_project_int,
+        )
+
+        df, _ = self._emb(spark)
+        plan = (
+            rp_project_int(df, rademacher_signs(64, 16, seed=7))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # stateless map: runs in the scan stage
+
+    def test_identical_vectors_project_identically(self, spark):
+        from bloomfilter_multithread_spark.operators.similarity import (
+            rademacher_signs,
+            rp_project_int,
+        )
+
+        df, _ = self._emb(spark, n=2)
+        twin = df.union(df.withColumn("vec_id", df.vec_id + 100))
+        rows = {r["vec_id"]: r["p"] for r in rp_project_int(twin, rademacher_signs(64, 16, 7)).collect()}
+        assert rows[0] == rows[100] and rows[1] == rows[101]
+
+    def test_jl_expectation_holds_on_random_pairs(self, spark):
+        import numpy as np
+
+        from bloomfilter_multithread_spark.operators.similarity import (
+            rademacher_signs,
+            rp_project_int,
+        )
+
+        df, _ = self._emb(spark, n=200, seed=9)
+        proj = rp_project_int(df, rademacher_signs(64, 16, seed=11)).collect()
+        by_id = {r["vec_id"]: r for r in proj}
+        ratios = []
+        for a in range(0, 200, 2):
+            qa, pa = np.array(by_id[a]["q"]), np.array(by_id[a]["p"])
+            qb, pb = np.array(by_id[a + 1]["q"]), np.array(by_id[a + 1]["p"])
+            d2o, d2p = int(((qa - qb) ** 2).sum()), int(((pa - pb) ** 2).sum())
+            ratios.append(d2p / (16 * d2o))
+        # E[ratio] = 1, var per pair ~2/k -> se over 100 pairs ~0.035
+        assert abs(float(np.mean(ratios)) - 1.0) < 0.2
