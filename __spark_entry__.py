@@ -913,6 +913,18 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy quality scoring (CCNet-style perplexity
+    filter, corpus-self-trained): per-doc token NLL under the corpus
+    unigram distribution with add-one smoothing, micro-rounded per
+    (doc, token) so the sums are order-free integers (the bm25
+    determinism pattern — margins pinned in tests/test_curation.py)."""
+    from bloomfilter_multithread_spark.operators.textstats import unigram_nll_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_nll_scores(docs)
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_multithread_spark.operators.textstats import fingerprint_md5min
 
@@ -1818,15 +1830,24 @@ def _q_stream_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
             es, cs, "user_id", "err_ts", "click_ts", band_seconds=3600,
             watermark_delay="40 days",
         )
-        q = (
-            joined.select("user_id", "err_id", "click_id")
-            .writeStream.format("parquet")
-            .option("path", f"{td}/out")
-            .option("checkpointLocation", f"{td}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # a stream-stream join allocates 4 state stores PER shuffle
+        # partition; at this input size the session's partition count is
+        # pure constant overhead — pin a small count for the stream's
+        # lifetime and restore (streams read the conf once at start)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.select("user_id", "err_id", "click_id")
+                .writeStream.format("parquet")
+                .option("path", f"{td}/out")
+                .option("checkpointLocation", f"{td}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         rows = [tuple(r) for r in spark.read.schema(out_schema).parquet(f"{td}/out").collect()]
     return spark.createDataFrame(rows, out_schema)
 
@@ -1930,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "jl_distortion": _q_jl_distortion,
         "lang_quality": _q_lang_quality,
+        "unigram_nll": _q_unigram_nll,
         "pii_scrub": _q_pii_scrub,
         "dupngram_fraction": _q_dupngram_fraction,
         "decontaminate": _q_decontaminate,
@@ -2024,6 +2046,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_lang_id,
         duckdb_quality_bp,
         duckdb_repetition_sql,
+        duckdb_unigram_nll_sql,
     )
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
@@ -2139,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
+        "unigram_nll": duckdb_unigram_nll_sql("documents"),
         "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),
         "pack_sequences": duckdb_pack_greedy_sql("documents", budget=512),
         "fingerprint": f"""

@@ -15,8 +15,10 @@ Scale shape (the 100 TB plan):
   - the RANK table is O(|nodes|) — per-tool, i.e. tiny — and is
     BROADCAST to the edge join, so no iteration reshuffles edges.
   - per-iteration contribution sums are map-side combinable longs.
-  - the only driver traffic is two scalars per iteration (node count is
-    hoisted; dangling mass is one 8-byte aggregate), not row data.
+  - the loop is fully LAZY: the dangling-mass scalar rides along as a
+    1-row broadcast cross join, so the only driver traffic for the
+    whole run is the hoisted node count — the N iterations execute as
+    one Spark job.
 
 Numerics: everything is 64-bit integer fixed-point (``scale`` units =
 rank 1.0). Per-edge contributions use integer division, so sums are
@@ -56,11 +58,15 @@ def pagerank_fixed_point(
     is integer arithmetic over exact aggregates.
     """
     num, den = damping
+    # persist the (possibly expensive) edge derivation ONCE — nodes,
+    # out-weights, and the per-iteration join all hang off it, and
+    # without this the upstream lineage (e.g. a window over all turns)
+    # re-executes three times before the first iteration starts
     e = edges.select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
         F.col("w").cast("long").alias("w"),
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -75,15 +81,19 @@ def pagerank_fixed_point(
     e_n = e.join(outw, "src").persist()
     out_nodes = outw.select(F.col("src").alias("node"))
 
+    teleport = ((den - num) * scale) // (den * n)
     ranks = nodes.select("node", F.lit(int(scale // n)).cast("long").alias("r"))
     for _ in range(n_iters):
+        # persisted so the two consumers below (dangling agg + edge
+        # join) share one evaluation inside the single final job — the
+        # whole loop is LAZY; no per-iteration driver round-trip
         ranks = ranks.persist()
-        # dangling mass: rank parked on nodes with no out-edges — one
-        # 8-byte scalar to the driver, not a row collect
-        dang = int(
+        # dangling mass: rank parked on nodes with no out-edges — a
+        # 1-row aggregate carried as a broadcast cross join (8 bytes),
+        # keeping the iteration fully plan-side
+        dang_df = (
             ranks.join(out_nodes, "node", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
-            .collect()[0]["d"]
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
         )
         insum = (
             e_n.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -91,12 +101,19 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        base = ((den - num) * scale) // (den * n) + (num * dang) // (den * n)
-        ranks = nodes.join(insum, "node", "left").select(
-            "node",
-            (F.lit(base) + F.expr(f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}"))
-            .cast("long")
-            .alias("r"),
+        ranks = (
+            nodes.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dang_df))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({num} * dang) div ({den} * {n})")
+                    + F.expr(f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}")
+                )
+                .cast("long")
+                .alias("r"),
+            )
         )
     return ranks.withColumnRenamed("r", "rank_fp")
 

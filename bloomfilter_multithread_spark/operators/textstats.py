@@ -306,3 +306,81 @@ def duckdb_repetition_sql(table: str = "documents", id_col: str = "doc_id",
                           / COUNT(*)) AS BIGINT) AS rep_bp
         FROM sh GROUP BY {id_col}
     """
+
+
+# ------------------------------------------------------- unigram LM NLL
+
+def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram model —
+    the classic LM-quality curation filter (a cheap stand-in for
+    KenLM-style perplexity filtering a la CCNet, Wenzek et al. 2020):
+    documents whose tokens are improbable under the corpus distribution
+    (garbled text, wrong language, boilerplate soup) score high.
+
+    nll(tok) = -log2((c(tok)+1) / (T+V))  (add-one smoothing), where
+    c = corpus occurrences, T = corpus token count, V = vocab size.
+    Per (doc, tok) the per-occurrence nll is rounded to integer MICRO
+    units BEFORE multiplying by tf and summing, so per-doc totals are
+    order-free integer sums (the bm25_scores determinism argument; the
+    ulp-vs-boundary margin is pinned in tests).
+
+    Scale shape: explode → (doc,tok) tf aggregate (one shuffle,
+    map-side combined) → token totals derived FROM tf (second small
+    aggregate keyed by tok) → tf⋈counts on tok (co-keyed shuffle join —
+    deliberately NOT a broadcast: a 100 TB corpus vocabulary is
+    millions of tokens) → per-doc integer sum. Two scalars (T, V) to
+    the driver."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
+    counts = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v_size")
+    ).collect()[0]
+    t_total, v_size = int(stats["t_total"]), int(stats["v_size"])
+    nll_occ = F.log2(F.lit(float(t_total + v_size))) - F.log2(F.col("c") + F.lit(1.0))
+    per_tok = tf.join(counts, "tok").select(
+        F.col(id_col),
+        F.col("tf"),
+        (F.floor(nll_occ * F.lit(1e6) + F.lit(0.5)).cast("long") * F.col("tf")).alias(
+            "c_micro"
+        ),
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum("c_micro").cast("long").alias("nll_micro"),
+        F.expr("sum(c_micro) div sum(tf)").cast("long").alias("avg_nll_micro"),
+    )
+
+
+def duckdb_unigram_nll_sql(table: str, id_col: str = "doc_id",
+                           text_col: str = "text") -> str:
+    """Exact SQL mirror of ``unigram_nll_scores`` — same smoothing, same
+    per-(doc,tok) micro rounding before the integer sum, same integer
+    division for the average."""
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS _id,
+                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+            FROM {table}
+        ),
+        tf AS (SELECT _id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY _id, tok),
+        counts AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+        stats AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total,
+                         CAST(COUNT(*) AS BIGINT) AS v_size FROM counts),
+        per_tok AS (
+            SELECT tf._id, tf.tf,
+                   CAST(FLOOR((log2(s.t_total + s.v_size) - log2(counts.c + 1.0))
+                              * 1e6 + 0.5) AS BIGINT) * tf.tf AS c_micro
+            FROM tf JOIN counts USING (tok) CROSS JOIN stats s
+        )
+        SELECT CAST(_id AS BIGINT) AS {id_col},
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(c_micro) AS BIGINT) AS nll_micro,
+               SUM(c_micro) // SUM(tf) AS avg_nll_micro
+        FROM per_tok GROUP BY _id
+    """

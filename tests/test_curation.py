@@ -70,3 +70,68 @@ def test_repetition_stats_exact(spark):
     assert got[1] == (7, 3, 5714)   # floor(10000*4/7)
     assert got[2] == (4, 4, 0)
     assert got[3] == (1, 1, 0)
+
+
+# ------------------------------------------------------- unigram LM NLL
+class TestUnigramNLL:
+    def test_single_doc_hand_computed(self, spark):
+        import math
+
+        from bloomfilter_multithread_spark.operators.textstats import (
+            unigram_nll_scores,
+        )
+
+        # corpus: "a a b" / "a c" -> c(a)=3, c(b)=1, c(c)=1, T=5, V=3
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in unigram_nll_scores(df).collect()}
+        n = lambda c: math.floor((math.log2(8.0) - math.log2(c + 1.0)) * 1e6 + 0.5)  # noqa: E731
+        assert rows[0]["n_tokens"] == 3 and rows[1]["n_tokens"] == 2
+        assert rows[0]["nll_micro"] == 2 * n(3) + n(1)
+        assert rows[1]["nll_micro"] == n(3) + n(1)
+        assert rows[0]["avg_nll_micro"] == rows[0]["nll_micro"] // 3
+
+    def test_rare_tokens_score_higher(self, spark):
+        from bloomfilter_multithread_spark.operators.textstats import (
+            unigram_nll_scores,
+        )
+
+        common = " ".join(["the"] * 20)
+        df = spark.createDataFrame(
+            [(0, common), (1, common), (2, common), (3, "zyx qwv jkl")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["avg_nll_micro"] for r in unigram_nll_scores(df).collect()}
+        assert rows[3] > rows[0]  # the garbled doc is less probable
+
+    def test_micro_rounding_margins_guard_the_floor(self):
+        """bm25-pattern freeze: every per-(doc,tok) scaled NLL must sit
+        >= 1e-6 micro units from a floor boundary, so a 1-ulp log2()
+        divergence between the JVM and libm can never flip the rounded
+        contribution (drift <= x*1e-16 ~ 3e-10 micro on this data)."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.01/documents.parquet'"
+        )
+        q = """
+            WITH toks AS (
+                SELECT doc_id AS _id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents),
+            tf AS (SELECT _id, tok, COUNT(*) AS tf FROM toks GROUP BY _id, tok),
+            counts AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
+            stats AS (SELECT SUM(c) AS t_total, COUNT(*) AS v_size FROM counts),
+            x AS (
+                SELECT (log2(s.t_total + s.v_size) - log2(counts.c + 1.0))
+                       * 1e6 + 0.5 AS x
+                FROM tf JOIN counts USING (tok) CROSS JOIN stats s)
+            SELECT MIN(LEAST(x - FLOOR(x), CEIL(x) - x)) AS margin, COUNT(*) AS n
+            FROM x
+        """
+        margin, n = con.sql(q).fetchone()
+        assert n > 1000
+        assert margin >= 1e-6, f"NLL contribution within {margin} of a boundary"
