@@ -913,6 +913,19 @@ def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler on the shuffle key every transcript query
+    shares (user_id ≅ conv_id): top-20 hottest keys + max/mean skew
+    ratio + worst hash-bucket share + the salt factor the salted build
+    (bloom_salted_skew) would need — the pre-flight diagnostic for
+    'skew handled explicitly'. Exact integers throughout; everything
+    after the first key-count aggregate runs on |keys| rows."""
+    from bloomfilter_multithread_spark.operators.skew import skew_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return skew_profile(ev, "user_id", top_k=20, n_buckets=32)
+
+
 def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy quality scoring (CCNet-style perplexity
     filter, corpus-self-trained): per-doc token NLL under the corpus
@@ -1952,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_distortion": _q_jl_distortion,
         "lang_quality": _q_lang_quality,
         "unigram_nll": _q_unigram_nll,
+        "skew_profile": _q_skew_profile,
         "pii_scrub": _q_pii_scrub,
         "dupngram_fraction": _q_dupngram_fraction,
         "decontaminate": _q_decontaminate,
@@ -2041,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.operators.decontam import (
         duckdb_decontaminate_sql,
     )
+    from bloomfilter_multithread_spark.operators.skew import duckdb_skew_sql
     from bloomfilter_multithread_spark.operators.textstats import (
         duckdb_bm25_sql,
         duckdb_lang_id,
@@ -2163,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
+        "skew_profile": duckdb_skew_sql("events", "user_id", top_k=20, n_buckets=32),
         "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),
         "pack_sequences": duckdb_pack_greedy_sql("documents", budget=512),
         "fingerprint": f"""
