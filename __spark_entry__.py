@@ -1114,6 +1114,23 @@ def _grouped_hll_distinct_witness(
     return agg.select(group_col, "exact_distinct", ok.alias("within_bound"))
 
 
+def _q_hopping_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (overlapping) event-time windows — size 2 days, hop
+    1 day, so every event lands in exactly two windows. Window
+    assignment is a narrow JVM explode of the two window starts (the
+    same expansion Spark's built-in ``F.window(ts, '2 days', '1 day')``
+    performs internally, spelled out so the DuckDB mirror is a plain
+    UNION ALL); per-window distinct then rides the shared grouped-HLL
+    witness pipeline. Completes the window family: tumbling
+    (windowed_distinct) / hopping (here) / session (sessionize_tool_runs)."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    hopped = ev.withColumn(
+        "win_start", F.explode(F.sequence(day - F.lit(1), day))
+    )
+    return _grouped_hll_distinct_witness(spark, hopped, "win_start", "long", int)
+
+
 def _q_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key distinct cardinality via GROUPED HLL sketches ("distinct
     users per event type") — the hash-input twin of grouped_quantiles'
@@ -1949,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_distinct": _q_grouped_distinct,
         "windowed_distinct": _q_windowed_distinct,
+        "hopping_distinct": _q_hopping_distinct,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -2175,6 +2193,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "hopping_distinct": """
+            WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                              user_id
+                       FROM events),
+            e AS (SELECT day - 1 AS win_start, user_id FROM d
+                  UNION ALL
+                  SELECT day AS win_start, user_id FROM d)
+            SELECT win_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM e GROUP BY 1
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
