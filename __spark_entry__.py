@@ -94,6 +94,48 @@ def _q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_runtime_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole idea — Bloom-accelerated membership — as
+    CATALYST'S OWN optimizer rule: with runtime bloom filters enabled,
+    InjectRuntimeFilter rewrites this shuffle semi-join so the lineitem
+    scan is prefiltered by `might_contain(bloom_filter_agg(xxhash64(
+    o_orderkey)))` — literally the engine's xxhash64→build→probe
+    pipeline, planned automatically. Same result set as bloom_semijoin
+    (which keeps the EXPLICIT, persistable sketch the reference ships);
+    this query evidences that the Spark-first re-expression composes
+    with the native surface. Thresholds are lowered set-and-restore so
+    the rule fires at test scale (defaults target 10 GB scans); the
+    plan is forced while the confs are in effect and pinned by
+    tests/test_spark_build.py."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = _read(spark, sf_dir, "orders").where("o_totalprice > 200000")
+        li = _read(spark, sf_dir, "lineitem")
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+            .select("l_orderkey")
+            .distinct()
+        )
+        # force planning NOW so the returned DataFrame's QueryExecution
+        # carries the runtime filter even after confs are restored
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def _q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-false-negative witness: probe a foreign key against a Bloom of
     its parent key — every probe must hit (reference all-ones golden,
@@ -1953,6 +1995,7 @@ def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semijoin": _q_bloom_semijoin,
+        "runtime_filter_semijoin": _q_runtime_filter_semijoin,
         "bloom_zero_fn": _q_bloom_zero_fn,
         "hll_distinct": _q_hll_distinct,
         "hll_setops": _q_hll_setops,
@@ -2432,6 +2475,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_probed, TRUE AS fpr_within_bound FROM customer
         """,
         "bloom_semijoin": """
+            SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "runtime_filter_semijoin": """
             SELECT DISTINCT l_orderkey FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
         """,

@@ -188,3 +188,22 @@ def test_routed_blocked_cbf_build_equals_unrouted(spark, corpus):
     # retraction on the routed result: subtract the whole corpus -> empty
     empty = routed["c"].subtract(plain["c"])
     assert empty.net_insert_count() == 0
+
+
+def test_runtime_filter_semijoin_injects_catalyst_bloom(spark, sf_dir):
+    """The contract query must actually carry Catalyst's injected
+    runtime bloom filter (InjectRuntimeFilter): the lineitem scan side
+    gets might_contain(bloom_filter_agg(xxhash64(o_orderkey))) — the
+    reference's build→probe pipeline, planned by the optimizer. The
+    plan is forced inside the query while the thresholds are lowered,
+    so it must survive the conf restore."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["runtime_filter_semijoin"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # and the confs were restored
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    ) != "0"
