@@ -94,6 +94,59 @@ def _q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drop_table_location(spark: SparkSession, table: str) -> None:
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing for co-located joins — the prompt's named scale lever,
+    gated: errors and clicks are written as tables bucketed 8-ways on
+    user_id (`bucketBy` + `sortBy`); the subsequent join AND the
+    per-user aggregate then plan with ZERO Exchange nodes (pinned by
+    tests/test_spark_build.py) — at 100 TB this is the difference
+    between reshuffling both fact tables per join and reading
+    co-located buckets. Rows are materialized before the scratch
+    tables drop; the oracle is the plain SQL join+group."""
+    tables = {"_bck_err": "error", "_bck_clk": "click"}
+    ev = _read(spark, sf_dir, "events")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for t, kind in tables.items():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # the catalog is session-scoped but the warehouse dir is not:
+            # a leftover location from a previous process fails saveAsTable
+            _drop_table_location(spark, t)
+            (
+                ev.where(F.col("event_type") == kind)
+                .select("user_id", "event_id")
+                .write.bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .format("parquet")
+                .saveAsTable(t)
+            )
+        joined = (
+            spark.table("_bck_err")
+            .join(spark.table("_bck_clk"), "user_id")
+            .groupBy("user_id")
+            .agg(F.count("*").cast("long").alias("n_pairs"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:  # the entire point of the query
+            raise AssertionError("bucketed join planned an Exchange")
+        rows = [tuple(r) for r in joined.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _drop_table_location(spark, t)
+    return spark.createDataFrame(rows, "user_id long, n_pairs long")
+
+
 def _q_runtime_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole idea — Bloom-accelerated membership — as
     CATALYST'S OWN optimizer rule: with runtime bloom filters enabled,
@@ -1996,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_semijoin": _q_bloom_semijoin,
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
+        "bucketed_join": _q_bucketed_join,
         "bloom_zero_fn": _q_bloom_zero_fn,
         "hll_distinct": _q_hll_distinct,
         "hll_setops": _q_hll_setops,
@@ -2481,6 +2535,13 @@ def oracle_sql() -> dict[str, str]:
         "runtime_filter_semijoin": """
             SELECT DISTINCT l_orderkey FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "bucketed_join": """
+            SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT user_id, event_id FROM events WHERE event_type = 'error') e
+            JOIN (SELECT user_id, event_id FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+            GROUP BY e.user_id
         """,
         "bloom_zero_fn": """
             SELECT COUNT(*) AS n_probed, COUNT(*) AS n_hits FROM orders

@@ -207,3 +207,18 @@ def test_runtime_filter_semijoin_injects_catalyst_bloom(spark, sf_dir):
     assert spark.conf.get(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
     ) != "0"
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, sf_dir):
+    """bucketBy(8, user_id) on both sides must remove every Exchange
+    from the join AND the downstream per-user aggregate (the bucketing
+    is reused twice). The query itself raises if an Exchange sneaks in;
+    this re-runs it end-to-end and checks result sanity."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["bucketed_join"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["n_pairs"] >= 1 for r in rows)
+    # scratch tables cleaned up
+    assert not spark.catalog.tableExists("_bck_err")
+    assert not spark.catalog.tableExists("_bck_clk")
