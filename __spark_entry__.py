@@ -189,6 +189,84 @@ def _q_runtime_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PIVOT_TOOLS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_role_tool_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.2 relational surface): per-role turn counts
+    pivoted across a FIXED tool list — passing explicit pivot values
+    both stabilizes the output schema (the oracle needs fixed columns)
+    and removes the extra distinct-values job Spark otherwise runs.
+    One hash aggregate on (role, tool) then a width-|tools| reshape —
+    never a shuffle per column."""
+    tr = _transcripts_from_events(spark, sf_dir)
+    piv = (
+        tr.where(F.col("tool").isin(_PIVOT_TOOLS))
+        .groupBy("role")
+        .pivot("tool", _PIVOT_TOOLS)
+        .count()
+    )
+    return piv.select(
+        "role",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _PIVOT_TOOLS],
+    )
+
+
+def _q_native_hll_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop with Spark's built-in Apache DataSketches HLL surface
+    (hll_sketch_agg / hll_sketch_estimate, Spark 3.5+): the engine's own
+    HLL and this library's HLL estimate the same cardinality on the same
+    column, both bound-checked against the exact count in one row. At
+    10^12 turns the native agg and the mergeable-sketch build are the
+    same plan shape (partial per partition, merge); this gate proves
+    the two estimates coexist and agree to their published errors."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    ev = _read(spark, sf_dir, "events")
+    ours = build_sketches(ev, [SketchSpec("h", "hll", "user_id", {"p": 12})])["h"]
+    est_ours, bound_ours = ours.estimate(), ours.rel_error_bound()
+    row = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("_native"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    # DataSketches HLL relative standard error at lgK=12 ~ 1.04/sqrt(2^12)
+    return row.select(
+        "exact_distinct",
+        (F.abs(F.col("_native") - F.col("exact_distinct"))
+         <= F.lit(4 * 1.04 / 64.0) * F.col("exact_distinct")).alias("native_within_bound"),
+        (F.abs(F.lit(float(est_ours)) - F.col("exact_distinct"))
+         <= F.lit(4 * bound_ours) * F.col("exact_distinct")).alias("ours_within_bound"),
+    )
+
+
+def _q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (operators/quality.py): four
+    constraint families evaluated in ONE aggregate pass over a
+    deliberately corrupted orders table (nulled priorities on
+    orderkey%97, duplicated rows on orderkey%500) so the report proves
+    it actually counts violations, not just echoes zeros. The planted
+    corruption is pure CASE/UNION logic mirrored verbatim in the
+    oracle."""
+    from bloomfilter_multithread_spark.operators.quality import check_constraints
+
+    od = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    planted = od.union(od.where("o_orderkey % 500 = 0"))
+    return check_constraints(
+        planted,
+        not_null=("o_orderpriority",),
+        unique=("o_orderkey",),
+        in_range={"o_totalprice": (0.0, 400000.0)},
+        accepted={"o_orderstatus": ["F", "O"]},
+    )
+
+
 def _q_bloom_zero_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-false-negative witness: probe a foreign key against a Bloom of
     its parent key — every probe must hit (reference all-ones golden,
@@ -1679,6 +1757,29 @@ def _q_pagerank_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("tool"), "rank_fp")
 
 
+def _data_quality_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.quality import duckdb_constraints_sql
+
+    planted = """(
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders
+        )
+        SELECT * FROM base
+        UNION ALL
+        SELECT * FROM base WHERE o_orderkey % 500 = 0
+    )"""
+    return duckdb_constraints_sql(
+        planted,
+        not_null=("o_orderpriority",),
+        unique=("o_orderkey",),
+        in_range={"o_totalprice": (0.0, 400000.0)},
+        accepted={"o_orderstatus": ["F", "O"]},
+    )
+
+
 def _jl_oracle_sql() -> str:
     from bloomfilter_multithread_spark.operators.similarity import (
         duckdb_rp_sql,
@@ -2050,6 +2151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
         "bucketed_join": _q_bucketed_join,
+        "role_tool_pivot": _q_role_tool_pivot,
+        "native_hll_interop": _q_native_hll_interop,
+        "data_quality": _q_data_quality,
         "bloom_zero_fn": _q_bloom_zero_fn,
         "hll_distinct": _q_hll_distinct,
         "hll_setops": _q_hll_setops,
@@ -2535,6 +2639,25 @@ def oracle_sql() -> dict[str, str]:
         "runtime_filter_semijoin": """
             SELECT DISTINCT l_orderkey FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        """,
+        "role_tool_pivot": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL})
+            SELECT role,
+                   CAST(COUNT(*) FILTER (tool = 'click')    AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (tool = 'error')    AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (tool = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (tool = 'signup')   AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (tool = 'view')     AS BIGINT) AS n_view
+            FROM transcripts
+            WHERE tool IN ('click', 'error', 'purchase', 'signup', 'view')
+            GROUP BY role
+        """,
+        "data_quality": _data_quality_oracle_sql(),
+        "native_hll_interop": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   TRUE AS native_within_bound,
+                   TRUE AS ours_within_bound
+            FROM events
         """,
         "bucketed_join": """
             SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
