@@ -2078,6 +2078,52 @@ def _q_stream_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def _q_stream_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION via the built-in
+    `dropDuplicatesWithinWatermark` (Spark 3.5+) — the streaming twin of
+    dedup_exact, and the state-bounded form a 10^12-turn stream needs:
+    the dedup state evicts keys older than the watermark instead of
+    growing with the stream. Gated with a watermark delay beyond the
+    fixture's span (single AvailableNow pass ≡ exact distinct) so the
+    oracle is plain SELECT DISTINCT; the eviction semantics are pinned
+    in tests/test_stream_join.py-style fashion in tests/test_streaming.py."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.streaming.sketch_stream import (
+        read_parquet_stream,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tr.select("text", "ts").coalesce(2).write.parquet(f"{td}/in")
+            stream = read_parquet_stream(
+                spark, f"{td}/in", schema="text string, ts timestamp"
+            )
+            deduped = (
+                stream.withWatermark("ts", "40 days")
+                .dropDuplicatesWithinWatermark(["text"])
+                .select("text")
+            )
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", f"{td}/out")
+                .option("checkpointLocation", f"{td}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = [
+                (r["text"],)
+                for r in spark.read.schema("text string").parquet(f"{td}/out").collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(rows, "text string")
+
+
 def _q_checkpoint_resume_seen_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumability under the correctness gate (north rule: 'resumable
     from checkpoint with per-partition lineage + metrics'): the corpus
@@ -2221,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
         "stream_join_errors": _q_stream_join_errors,
+        "stream_dedup_turns": _q_stream_dedup_turns,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         "bloom_fpr": _q_bloom_fpr,
     }
@@ -2621,6 +2668,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
                    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM probe WHERE text IN (SELECT text FROM corpus)
+        """,
+        "stream_dedup_turns": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL})
+            SELECT DISTINCT text FROM transcripts
         """,
         "stream_join_errors": """
             SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id

@@ -106,3 +106,42 @@ def test_canonical_is_strand_invariant(spark, genome):
 def test_clean_dna_filters_reference_classes(spark):
     df = spark.createDataFrame([("acg tNx-YT\n",)], "s string")
     assert df.select(clean_dna("s").alias("c")).first()["c"] == "ACGTNT"
+
+
+# ----------------------------------------- Python DataSource API route
+@pytest.mark.skipif(
+    not os.path.exists(CORPUS), reason="reference fixture absent"
+)
+def test_fasta_datasource_equals_wholetext_route(spark):
+    """spark.read.format('fasta') (Python DataSource API, one
+    InputPartition per file) must produce exactly the records of the
+    wholetext JVM route on the reference's own corpus."""
+    from bloomfilter_multithread_spark.sources.fasta import read_fasta
+    from bloomfilter_multithread_spark.sources.fasta_datasource import (
+        register_fasta_source,
+    )
+
+    register_fasta_source(spark)
+    via_ds = spark.read.format("fasta").load(CORPUS)
+    via_wt = read_fasta(spark, CORPUS)
+    a = sorted((r["seq_id"], r["sequence"]) for r in via_ds.collect())
+    b = sorted((r["seq_id"], r["sequence"]) for r in via_wt.collect())
+    assert a == b and len(a) >= 1
+
+
+def test_fasta_datasource_partitions_per_file(spark, tmp_path):
+    """Partition planning: one input partition per file (the safe unit
+    for order-dependent FASTA assembly), so a many-file corpus reads
+    concurrently."""
+    from bloomfilter_multithread_spark.sources.fasta_datasource import (
+        register_fasta_source,
+    )
+
+    for i in range(3):
+        (tmp_path / f"s{i}.fa").write_text(f">seq{i} x\nAC\nGT\n>extra{i}\nTTTT\n")
+    register_fasta_source(spark)
+    df = spark.read.format("fasta").load(str(tmp_path))
+    assert df.rdd.getNumPartitions() == 3
+    rows = {(r["seq_id"], r["sequence"]) for r in df.collect()}
+    assert ("seq0 x", "ACGT") in rows and ("extra2", "TTTT") in rows
+    assert len(rows) == 6

@@ -142,3 +142,59 @@ def test_long_delay_keeps_state_for_late_arrivals(spark, tmp_path):
            ("user_id", "err_id", "err_ts"), mtime=now - 50)
     got = _run_stream_join(spark, td, band=60, delay="2 days", max_files=1)
     assert got == [(1, 100, 200), (1, 101, 201)]
+
+
+# ---------------------------------------- dropDuplicatesWithinWatermark
+def _run_stream_dedup(spark, td, delay, max_files=None):
+    es = read_parquet_stream(
+        spark, f"{td}/in", schema="user_id long, err_id long, err_ts timestamp",
+        max_files_per_trigger=max_files,
+    )
+    q = (
+        es.withWatermark("err_ts", delay)
+        .dropDuplicatesWithinWatermark(["err_id"])
+        .select("err_id")
+        .writeStream.format("parquet")
+        .option("path", f"{td}/out")
+        .option("checkpointLocation", f"{td}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(
+        r["err_id"] for r in spark.read.schema("err_id long").parquet(f"{td}/out").collect()
+    )
+
+
+def test_stream_dedup_drops_within_watermark_duplicates(spark, tmp_path):
+    td = str(tmp_path)
+    os.makedirs(f"{td}/in")
+    now = time.time()
+    _write(f"{td}/in/a.parquet", [(1, 7, 1000), (1, 8, 1001)],
+           ("user_id", "err_id", "err_ts"), mtime=now - 100)
+    # same key again a batch later, still inside the watermark window
+    _write(f"{td}/in/b.parquet", [(1, 7, 1002)],
+           ("user_id", "err_id", "err_ts"), mtime=now - 50)
+    got = _run_stream_dedup(spark, td, delay="1 hours", max_files=1)
+    assert got == [7, 8]
+
+
+def test_stream_dedup_state_eviction_reemits_old_keys(spark, tmp_path):
+    """The state-bounding trade-off, pinned honestly: once the watermark
+    passes a key's event time its dedup state evicts, so the SAME key
+    re-arriving much later is emitted AGAIN — dedup is exact only within
+    the watermark window (that bound is what makes the state O(rate x
+    delay) instead of O(stream))."""
+    td = str(tmp_path)
+    os.makedirs(f"{td}/in")
+    now = time.time()
+    _write(f"{td}/in/a.parquet", [(1, 7, 1000)],
+           ("user_id", "err_id", "err_ts"), mtime=now - 100)
+    # advance event time far beyond key 7's window (delay 0 s)
+    _write(f"{td}/in/m.parquet", [(1, 50, 100_000)],
+           ("user_id", "err_id", "err_ts"), mtime=now - 75)
+    # key 7 again: state evicted two batches ago -> emitted a second time
+    _write(f"{td}/in/b.parquet", [(1, 7, 100_001)],
+           ("user_id", "err_id", "err_ts"), mtime=now - 50)
+    got = _run_stream_dedup(spark, td, delay="0 seconds", max_files=1)
+    assert got == [7, 7, 50]
