@@ -412,6 +412,39 @@ def _rank_check_quantiles(df: DataFrame, col: str, quantiles: list[float],
     )
 
 
+def _q_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war inner product (Alon–Matias–Szegedy 1996) — the
+    UNBIASED two-sided companion to cms_join_size (CMS overcounts by up
+    to eps*N_A*N_B; AMS errs ~ sqrt(2/m)*sqrt(F2_A*F2_B) either side,
+    the better tool when the join size is small relative to the stream
+    sizes). Same build shape: two independent one-pass sketch builds
+    over the click and view streams; the sign family is deterministic
+    from the key hash so separately built sketches combine. Gated
+    against the exact join size with a 5-sigma median-of-means bound."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    ev = _read(spark, sf_dir, "events")
+    spec = [SketchSpec("a", "ams", "user_id", {"reps": 512, "groups": 8})]
+    sa = build_sketches(ev.where(F.col("event_type") == "click"), spec)["a"]
+    sb = build_sketches(ev.where(F.col("event_type") == "view"), spec)["a"]
+    est = sa.estimate_inner_product(sb)
+    bound = sa.inner_product_bound(sb)
+    per_user = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("cb"),
+        )
+    )
+    exact = per_user.agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_join_size"))
+    j = F.col("exact_join_size")
+    return exact.select(
+        "exact_join_size",
+        (F.abs(F.lit(float(est)) - j) <= F.lit(5.0 * float(bound))).alias("ams_within_bound"),
+    )
+
+
 def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles (integer cents — float-rounding-proof) + KLL
     rank-bound boolean. Two Spark jobs total: the sketch build pass and
@@ -2206,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_users": _q_cms_heavy_users,
         "mg_heavy_hitters": _q_mg_heavy_hitters,
         "cms_join_size": _q_cms_join_size,
+        "ams_join_size": _q_ams_join_size,
         "bloom_setops": _q_bloom_setops,
         "kmv_setops": _q_kmv_setops,
         "kll_quantiles": _q_kll_quantiles,
@@ -2735,6 +2769,14 @@ def oracle_sql() -> dict[str, str]:
         "cms_join_size": """
             SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_size,
                    TRUE AS cms_within_bound
+            FROM (SELECT user_id,
+                         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+                  FROM events GROUP BY user_id) x
+        """,
+        "ams_join_size": """
+            SELECT CAST(SUM(ca * cb) AS BIGINT) AS exact_join_size,
+                   TRUE AS ams_within_bound
             FROM (SELECT user_id,
                          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
                          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb

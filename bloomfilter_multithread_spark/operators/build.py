@@ -56,7 +56,7 @@ class SketchSpec:
     it is passed through instead of being re-hashed."""
 
     name: str
-    kind: str  # bloom | cbf | hll | kmv | cms | mg | kll | tdigest
+    kind: str  # bloom | cbf | hll | kmv | cms | mg | ams | kll | tdigest
     column: str | Column  # input column / SQL expression string
     params: dict = field(default_factory=dict)
     pre_hashed: bool = False

@@ -1,5 +1,6 @@
 """Pure-numpy mergeable sketches. No Spark imports here — unit-testable standalone."""
 
+from .ams import AMSSketch
 from .base import MergeableSketch, merge_all, sketch_class
 from .bloom import BloomSketch, ReferenceBloom, optimal_params
 from .cbf import CBFSketch
@@ -15,6 +16,7 @@ __all__ = [
     "MergeableSketch",
     "merge_all",
     "sketch_class",
+    "AMSSketch",
     "BloomSketch",
     "ReferenceBloom",
     "optimal_params",

@@ -802,3 +802,87 @@ class TestCBF:
         assert np.array_equal(rt.counters, whole.counters)
         with pytest.raises(ValueError, match="param mismatch"):
             CBFSketch(1 << 16, 4).merge(whole)
+
+
+# ---------------------------------------------------------------- ams
+class TestAMS:
+    """AMS tug-of-war (Alon–Matias–Szegedy 1996): unbiased F2 and
+    inner-product, median-of-means concentration."""
+
+    def _stream(self, n_keys=2000, scale=5000.0, alpha=1.1, seed=0):
+        rng = np.random.default_rng(seed)
+        keys = rng.integers(0, 2**63, size=n_keys, dtype=np.int64).astype(np.uint64)
+        freq = np.maximum(1, (scale / np.arange(1, n_keys + 1) ** alpha)).astype(np.int64)
+        return keys, freq, np.repeat(keys, freq)
+
+    def test_f2_within_bound(self):
+        from bloomfilter_multithread_spark.sketches import AMSSketch
+
+        keys, freq, stream = self._stream()
+        f2 = float((freq.astype(float) ** 2).sum())
+        s = AMSSketch(reps=512, groups=8).update_hashes(stream)
+        assert abs(s.estimate_f2() - f2) <= 5 * (2.0 / 64) ** 0.5 * f2
+
+    def test_merge_counter_exact_and_partition_invariant(self):
+        from bloomfilter_multithread_spark.sketches import AMSSketch
+
+        _, _, stream = self._stream()
+        whole = AMSSketch(256, 8).update_hashes(stream)
+        for n_parts in (3, 7, 11):
+            parts = [AMSSketch(256, 8).update_hashes(c)
+                     for c in np.array_split(stream, n_parts)]
+            merged = merge_all(parts)
+            assert np.array_equal(whole.counters, merged.counters)
+            assert whole.total == merged.total
+
+    def test_inner_product_on_correlated_streams(self):
+        from bloomfilter_multithread_spark.sketches import AMSSketch
+
+        keys, freq, stream_a = self._stream(seed=3)
+        rng = np.random.default_rng(4)
+        freq_b = np.maximum(1, freq + rng.integers(-2, 3, size=freq.size)).astype(np.int64)
+        stream_b = np.repeat(keys, freq_b)
+        exact = float((freq.astype(float) * freq_b).sum())
+        sa = AMSSketch(512, 8).update_hashes(stream_a)
+        sb = AMSSketch(512, 8).update_hashes(stream_b)
+        est = sa.estimate_inner_product(sb)
+        assert abs(est - exact) <= 5 * sa.inner_product_bound(sb)
+        # for near-identical streams the bound is ~sqrt(2/m)*exact, i.e.
+        # the estimate is genuinely informative, not vacuous
+        assert sa.inner_product_bound(sb) <= 0.3 * exact
+
+    def test_weighted_updates_equal_repeats(self):
+        from bloomfilter_multithread_spark.sketches import AMSSketch
+
+        keys, freq, stream = self._stream(n_keys=300, seed=5)
+        a = AMSSketch(256, 8).update_hashes(stream)
+        b = AMSSketch(256, 8).update_hashes(keys, counts=freq)
+        assert np.array_equal(a.counters, b.counters) and a.total == b.total
+
+    def test_serde_and_param_mismatch(self):
+        import pytest
+
+        from bloomfilter_multithread_spark.sketches import AMSSketch
+
+        _, _, stream = self._stream(n_keys=100, seed=6)
+        s = AMSSketch(128, 4).update_hashes(stream)
+        s2 = MergeableSketch.from_bytes(s.to_bytes())
+        assert np.array_equal(s.counters, s2.counters) and s2.total == s.total
+        with pytest.raises(ValueError):
+            s.merge(AMSSketch(256, 8))
+
+    def test_unbiasedness_over_sign_families(self):
+        # mean over many independent keys-draws of the SINGLE-counter
+        # estimator must approach F2 (unbiasedness of the tug-of-war)
+        from bloomfilter_multithread_spark.sketches import AMSSketch
+
+        rng = np.random.default_rng(9)
+        f2s = []
+        true_f2 = None
+        for trial in range(30):
+            keys = rng.integers(0, 2**63, size=50, dtype=np.int64).astype(np.uint64)
+            freq = rng.integers(1, 20, size=50).astype(np.int64)
+            s = AMSSketch(512, 8).update_hashes(keys, counts=freq)
+            f2s.append(s.estimate_f2() / float((freq.astype(float) ** 2).sum()))
+        m = float(np.mean(f2s))
+        assert abs(m - 1.0) < 0.15
