@@ -2541,7 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(l_quantity) AS BIGINT)             AS sum_qty,
-                   SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS sum_price_fl,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_price_fl,
                    CAST(COUNT(*) AS BIGINT)                    AS count_order
             FROM lineitem
             WHERE l_quantity <= 30

@@ -135,18 +135,20 @@ def duckdb_pagerank_sql(
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
         "outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)",
-        f"it0 AS (SELECT node, (SELECT {scale} // n FROM nn) AS r FROM nodes)",
+        f"it0 AS (SELECT node, CAST((SELECT {scale} // n FROM nn) AS BIGINT) AS r FROM nodes)",
     ]
     for t in range(1, n_iters + 1):
         prev = f"it{t - 1}"
         parts.append(
             f"""it{t} AS (
               SELECT nd.node,
-                     ((({den} - {num}) * {scale}) // ({den} * (SELECT n FROM nn)))
-                   + (({num} * (SELECT COALESCE(SUM(r.r), 0) FROM {prev} r
-                                LEFT JOIN outw o ON r.node = o.src
-                                WHERE o.src IS NULL)) // ({den} * (SELECT n FROM nn)))
-                   + (({num} * COALESCE(s.s, 0)) // {den}) AS r
+                     CAST(
+                       ((({den} - {num}) * {scale}) // ({den} * (SELECT n FROM nn)))
+                     + (({num} * (SELECT COALESCE(SUM(r.r), 0) FROM {prev} r
+                                  LEFT JOIN outw o ON r.node = o.src
+                                  WHERE o.src IS NULL)) // ({den} * (SELECT n FROM nn)))
+                     + (({num} * COALESCE(s.s, 0)) // {den})
+                     AS BIGINT) AS r
               FROM nodes nd LEFT JOIN (
                   SELECT e.dst AS node, SUM((r.r * e.w) // o.ow) AS s
                   FROM edges e
@@ -156,5 +158,6 @@ def duckdb_pagerank_sql(
             )"""
         )
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT node, r AS rank_fp FROM it{n_iters}"
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM it{n_iters}"
     )

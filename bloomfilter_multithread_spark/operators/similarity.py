@@ -669,21 +669,23 @@ def duckdb_rp_sql(signs: list[list[int]], quant: int = 16384,
             FROM {table}
         ),
         proj AS (
-            SELECT q.vid, sg.j, SUM(sg.s * q.qi) AS pj
+            SELECT q.vid, sg.j, CAST(SUM(sg.s * q.qi) AS BIGINT) AS pj
             FROM quantized q JOIN signs sg ON q.c = sg.c
             GROUP BY q.vid, sg.j
         ),
         pair_orig AS (
-            SELECT a.vid AS pair_id, SUM((a.qi - b.qi) * (a.qi - b.qi)) AS d2_orig
+            SELECT a.vid AS pair_id,
+                   CAST(SUM((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS d2_orig
             FROM quantized a JOIN quantized b ON b.vid = a.vid + 1 AND a.c = b.c
             WHERE a.vid % 2 = 0 GROUP BY a.vid
         ),
         pair_proj AS (
-            SELECT a.vid AS pair_id, SUM((a.pj - b.pj) * (a.pj - b.pj)) AS d2_proj
+            SELECT a.vid AS pair_id,
+                   CAST(SUM((a.pj - b.pj) * (a.pj - b.pj)) AS BIGINT) AS d2_proj
             FROM proj a JOIN proj b ON b.vid = a.vid + 1 AND a.j = b.j
             WHERE a.vid % 2 = 0 GROUP BY a.vid
         )
         SELECT o.pair_id, o.d2_orig, p.d2_proj,
-               (10000 * p.d2_proj) // ({k} * o.d2_orig) AS ratio_bp
+               CAST((10000 * p.d2_proj) // ({k} * o.d2_orig) AS BIGINT) AS ratio_bp
         FROM pair_orig o JOIN pair_proj p USING (pair_id)
     """

@@ -381,6 +381,6 @@ def duckdb_unigram_nll_sql(table: str, id_col: str = "doc_id",
         SELECT CAST(_id AS BIGINT) AS {id_col},
                CAST(SUM(tf) AS BIGINT) AS n_tokens,
                CAST(SUM(c_micro) AS BIGINT) AS nll_micro,
-               SUM(c_micro) // SUM(tf) AS avg_nll_micro
+               CAST(SUM(c_micro) // SUM(tf) AS BIGINT) AS avg_nll_micro
         FROM per_tok GROUP BY _id
     """
