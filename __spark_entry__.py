@@ -1132,6 +1132,24 @@ def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id", top_k=20, n_buckets=32)
 
 
+def _q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, day) — the
+    multi-dimensional layout primitive behind min-max file skipping
+    (operators/layout.py; Delta's OPTIMIZE ZORDER shape, Morton 1966).
+    The gate pins the exact bit interleave per row; the layout BENEFIT
+    (a range predicate on either dimension touches fewer files than
+    under a single-column sort) is measured in tests/test_layout.py."""
+    from bloomfilter_multithread_spark.operators.layout import zorder_key
+
+    ev = _read(spark, sf_dir, "events")
+    a = (F.col("user_id") % 1024).cast("long")
+    b = (F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long") % 1024)
+    return ev.select(
+        "event_id",
+        zorder_key([a, b], bits=10).alias("zval"),
+    )
+
+
 def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM cross-entropy quality scoring (CCNet-style perplexity
     filter, corpus-self-trained): per-doc token NLL under the corpus
@@ -1813,6 +1831,21 @@ def _data_quality_oracle_sql() -> str:
     )
 
 
+def _zorder_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.layout import duckdb_zorder_expr
+
+    z = duckdb_zorder_expr(["a", "b"], bits=10)
+    return f"""
+        WITH norm AS (
+            SELECT event_id,
+                   user_id % 1024 AS a,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) % 1024 AS b
+            FROM events
+        )
+        SELECT event_id, {z} AS zval FROM norm
+    """
+
+
 def _jl_oracle_sql() -> str:
     from bloomfilter_multithread_spark.operators.similarity import (
         duckdb_rp_sql,
@@ -2265,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _q_lang_quality,
         "unigram_nll": _q_unigram_nll,
         "skew_profile": _q_skew_profile,
+        "zorder_values": _q_zorder_values,
         "pii_scrub": _q_pii_scrub,
         "dupngram_fraction": _q_dupngram_fraction,
         "decontaminate": _q_decontaminate,
@@ -2491,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
         "skew_profile": duckdb_skew_sql("events", "user_id", top_k=20, n_buckets=32),
+        "zorder_values": _zorder_oracle_sql(),
         "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),
         "pack_sequences": duckdb_pack_greedy_sql("documents", budget=512),
         "fingerprint": f"""

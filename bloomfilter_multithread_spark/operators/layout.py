@@ -1,0 +1,70 @@
+"""Z-order (Morton) data layout — multi-dimensional clustering for
+min-max pruning.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet row-group/file skipping works off per-file min/max statistics,
+which a single-column sort optimizes for ONE predicate column only.
+Interleaving the bits of k normalized columns (the Morton / Z-order
+curve, the technique Delta Lake's OPTIMIZE ZORDER popularized — public
+algorithm, Morton 1966) makes files tight in EVERY interleaved
+dimension at once: a range predicate on any of them touches a strict
+subset of files.
+
+Everything here is exact integer bit arithmetic (shift/and/or on
+longs), so the z-value computation is hash-exact mirrorable in SQL —
+``zorder_values`` gates it. The layout BENEFIT (fewer files read) is
+pinned by tests/test_layout.py: the same range predicate touches fewer
+files under z-order than under a single-column sort of the other
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 10) -> Column:
+    """Morton-interleave ``bits`` low bits of each column (values must
+    already be normalized to [0, 2^bits) longs — callers bucket/clamp).
+    For k columns, output bit (i*k + j) = bit i of column j; total
+    k*bits bits (keep k*bits <= 62)."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError("k*bits must fit a signed 64-bit value")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                            i * k + j)
+            )
+    return z
+
+
+def duckdb_zorder_expr(cols: list[str], bits: int = 10) -> str:
+    """SQL mirror of :func:`zorder_key` (same bit placement; `>>`/`&`/
+    `|` on BIGINT are exact in both engines)."""
+    k = len(cols)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * k + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+def write_zordered(df: DataFrame, path: str, zcol: Column, n_files: int) -> None:
+    """Cluster rows by z-value into ``n_files`` output files:
+    ``repartitionByRange`` on the z key gives contiguous z-ranges per
+    file (range partitioning samples quantiles — one extra pass), then a
+    within-partition sort tightens per-row-group min/max too."""
+    (
+        df.withColumn("_z", zcol)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
