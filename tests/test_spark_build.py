@@ -222,3 +222,31 @@ def test_bucketed_join_plans_zero_exchanges(spark, sf_dir):
     # scratch tables cleaned up
     assert not spark.catalog.tableExists("_bck_err")
     assert not spark.catalog.tableExists("_bck_clk")
+
+
+def test_cbo_column_stats_estimate_aggregate_cardinality(spark, sf_dir):
+    """Catalog-statistics surface: ANALYZE TABLE ... FOR COLUMNS feeds
+    the cost-based optimizer a distinct-count, so the estimated output
+    cardinality of GROUP BY l_suppkey is the NDV (within the HLL error
+    of the stats collection), not a guess proportional to input rows.
+    At 100 TB these estimates are what make join reordering and
+    broadcast decisions right before the first byte is read."""
+    import shutil
+
+    saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.sql("DROP TABLE IF EXISTS _cbo_li")
+    shutil.rmtree("/root/repo/spark-warehouse/_cbo_li", ignore_errors=True)
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.saveAsTable("_cbo_li")
+        spark.sql("ANALYZE TABLE _cbo_li COMPUTE STATISTICS FOR COLUMNS l_suppkey")
+        agg = spark.sql("SELECT l_suppkey, COUNT(*) AS n FROM _cbo_li GROUP BY l_suppkey")
+        est = agg._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        assert est.isDefined(), "CBO produced no rowCount estimate"
+        est_rows = int(str(est.get()))
+        true_rows = agg.count()
+        assert true_rows / 2 <= est_rows <= true_rows * 2, (est_rows, true_rows)
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", saved)
+        spark.sql("DROP TABLE IF EXISTS _cbo_li")
+        shutil.rmtree("/root/repo/spark-warehouse/_cbo_li", ignore_errors=True)
