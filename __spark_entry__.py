@@ -462,6 +462,55 @@ def _q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_native_quantile_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop with Spark's built-in approximate-quantile surface
+    (`percentile_approx`, Greenwald–Khanna/KLL-backed): the native
+    estimator and this library's KLL sketch estimate the same three
+    percentiles, and ONE combined aggregate rank-checks both against
+    the exact ranks (the quantile twin of native_hll_interop —
+    percentile_approx's published guarantee is rank error ≤ n/accuracy;
+    KLL's is its merge-preserved rank bound)."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec, build_sketches
+
+    li = _read(spark, sf_dir, "lineitem")
+    kll = build_sketches(li, [SketchSpec("k", "kll", "l_extendedprice", {"k": 200})])["k"]
+    qs = [0.25, 0.5, 0.75]
+    accuracy = 10000
+    native = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        ).alias("qa")
+    ).collect()[0]["qa"]
+    kll_ests = [kll.quantile(q) for q in qs]
+    c = F.col("l_extendedprice")
+    aggs = [
+        F.count(c).alias("_n"),
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("_qs"),
+    ]
+    for i, e in enumerate(native):
+        aggs.append(F.sum((c <= F.lit(float(e))).cast("long")).alias(f"_na{i}"))
+    for i, e in enumerate(kll_ests):
+        aggs.append(F.sum((c <= F.lit(float(e))).cast("long")).alias(f"_ka{i}"))
+    a = li.agg(*aggs)
+    nat_ok, kll_ok = F.lit(True), F.lit(True)
+    for i, q in enumerate(qs):
+        nat_ok = nat_ok & (
+            F.abs(F.col(f"_na{i}") / F.col("_n") - F.lit(q)) <= F.lit(5.0 / accuracy)
+        )
+        kll_ok = kll_ok & (
+            F.abs(F.col(f"_ka{i}") / F.col("_n") - F.lit(q))
+            <= F.lit(2 * kll.rank_error_bound())
+        )
+    return a.select(
+        *[
+            F.floor(F.element_at("_qs", i + 1) * 100 + F.lit(0.5)).cast("long").alias(nm)
+            for i, nm in enumerate(["p25_cents", "p50_cents", "p75_cents"])
+        ],
+        nat_ok.alias("native_within_bound"),
+        kll_ok.alias("kll_within_bound"),
+    )
+
+
 def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantile estimates rank-checked against exact percentiles
     in one combined aggregate (2 jobs: build + agg)."""
@@ -2276,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_setops": _q_bloom_setops,
         "kmv_setops": _q_kmv_setops,
         "kll_quantiles": _q_kll_quantiles,
+        "native_quantile_interop": _q_native_quantile_interop,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_distinct": _q_grouped_distinct,
@@ -2921,6 +2971,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) AS BIGINT) AS p25_cents,
                    CAST(FLOOR(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) AS BIGINT) AS p50_cents,
                    CAST(FLOOR(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) AS BIGINT) AS p75_cents,
+                   TRUE AS kll_within_bound
+            FROM lineitem
+        """,
+        "native_quantile_interop": """
+            SELECT CAST(FLOOR(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) AS BIGINT) AS p25_cents,
+                   CAST(FLOOR(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) AS BIGINT) AS p50_cents,
+                   CAST(FLOOR(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) AS BIGINT) AS p75_cents,
+                   TRUE AS native_within_bound,
                    TRUE AS kll_within_bound
             FROM lineitem
         """,
