@@ -215,3 +215,62 @@ def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
     if key_col is None:
         aggs.append(F.approx_count_distinct(ts_col).alias("approx_distinct_ts"))
     return stream_df.withWatermark(ts_col, watermark).groupBy(*agg_keys).agg(*aggs)
+
+
+_RUNNING_Q_OUT_DDL = (
+    "key string, n_turns long, p50_milli long, p90_milli long, p99_milli long"
+)
+
+
+def running_quantiles_per_key(stream_df: DataFrame, key_col: str, value_col: str,
+                              kind: str = "tdigest", params: dict | None = None,
+                              timeout: str = "NoTimeout") -> DataFrame:
+    """VALUE-sketch twin of :func:`running_distinct_per_key`: per-key
+    running latency/size quantiles via a mergeable value sketch
+    (t-digest or KLL) held in GroupState — "p99 latency per tool,
+    updated per micro-batch" without ever storing the raw values.
+
+    State is the serialized envelope (t-digest δ=200 ≈ a few KiB per
+    key; restart resumes the exact digest, version-checked). The update
+    path folds whole Arrow batches with ``update_values`` — no per-row
+    Python. Emits (key, n_turns, p50/p90/p99 in milli-units) per key
+    per micro-batch; stream ≡ batch equality within the sketch's
+    determinism is pinned in tests/test_streaming.py."""
+    from ..sketches import sketch_class
+
+    cls = sketch_class(kind)
+    if params is None:
+        params = {"delta": 200.0} if kind == "tdigest" else {}
+
+    proj = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    def update(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            sketch_bytes, n = state.get
+            sk = cls.from_bytes(bytes(sketch_bytes))
+        else:
+            sk, n = cls.create(**params), 0
+        for pdf in pdf_iter:
+            vals = pdf["v"].to_numpy(dtype=np.float64)
+            vals = vals[~np.isnan(vals)]
+            sk.update_values(vals)
+            n += len(pdf)
+        state.update((bytearray(sk.to_bytes()), n))
+        milli = [int(round(sk.quantile(q) * 1000)) for q in (0.5, 0.9, 0.99)]
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_turns": [n],
+             "p50_milli": [milli[0]], "p90_milli": [milli[1]], "p99_milli": [milli[2]]}
+        )
+
+    return proj.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_Q_OUT_DDL,
+        stateStructType=_SKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

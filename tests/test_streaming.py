@@ -180,3 +180,51 @@ def test_windowed_counts_runs(spark, tmp_path):
     assert sum(r["n_rows"] for r in rows) <= df.count()
     starts = [r["win"]["start"] for r in rows]
     assert len(starts) == len(set(starts))
+
+
+def test_running_quantiles_per_key(spark, tmp_path):
+    """Value-sketch GroupState twin: per-key running t-digest quantiles
+    from a stream must match a batch t-digest built on the same rows
+    (same fold, same digest params) and rank-check against exact
+    per-key percentiles."""
+    import numpy as np
+
+    from bloomfilter_multithread_spark.streaming.sketch_stream import (
+        running_quantiles_per_key,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = synth_transcripts(spark, n_convs=60, seed=13).withColumn(
+        "latency", F.length("text").cast("double")
+    )
+    in_dir = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(in_dir)
+    stream = read_parquet_stream(spark, in_dir, df.schema)
+    out = running_quantiles_per_key(stream, key_col="role", value_col="latency")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_q")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["key"]: r for r in spark.sql("select * from running_q").collect()}
+    pdf = df.select("role", "latency").toPandas()
+    assert set(got) == set(pdf["role"].unique())
+    for role, row in got.items():
+        vals = pdf[pdf["role"] == role]["latency"].to_numpy(dtype=np.float64)
+        assert row["n_turns"] == len(vals)
+        # stream-built digest == batch-built digest on the same fold order
+        # is not guaranteed (arrival order differs), so check RANKS: each
+        # reported quantile's exact rank must sit near its target (0.05
+        # absolute slack — generous vs t-digest delta=200 interior error,
+        # tight enough to catch a wrong percentile)
+        for qq, col in ((0.5, "p50_milli"), (0.9, "p90_milli"), (0.99, "p99_milli")):
+            est = row[col] / 1000.0
+            # tie-aware: under duplicated values a correct quantile has
+            # rank INTERVAL [P(v<est), P(v<=est)] straddling q
+            lo, hi = (vals < est).mean(), (vals <= est).mean()
+            assert lo - 0.05 <= qq <= hi + 0.05, (role, qq, lo, hi)
