@@ -2193,6 +2193,53 @@ def _q_stream_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the third streaming join shape (alongside
+    the stream-stream band join and the batch probes): a live turn
+    stream enriched per micro-batch against a STATIC dimension (per-tool
+    corpus stats computed batch-side). No watermark or state is needed —
+    the static side is just re-broadcast per micro-batch, which is the
+    standard dimension-enrichment topology for a 10^12-turn ingest.
+    Gated: streamed enrichment + aggregate ≡ the batch join, row-for-row
+    (SQL oracle)."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.streaming.sketch_stream import (
+        read_parquet_stream,
+    )
+
+    tr = _transcripts_from_events(spark, sf_dir)
+    dim = tr.groupBy("tool").agg(F.count("*").cast("long").alias("tool_total"))
+    out_schema = "tool string, n_turns long, tool_total long"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tr.select("conv_id", "tool").coalesce(2).write.parquet(f"{td}/in")
+            stream = read_parquet_stream(
+                spark, f"{td}/in", schema="conv_id string, tool string"
+            )
+            enriched = stream.join(F.broadcast(dim), "tool")
+            agg = enriched.groupBy("tool", "tool_total").agg(
+                F.count("*").cast("long").alias("n_turns")
+            )
+            q = (
+                agg.select("tool", "n_turns", "tool_total")
+                .writeStream.format("memory")
+                .queryName("_stream_static")
+                .outputMode("complete")
+                .option("checkpointLocation", f"{td}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = [tuple(r) for r in spark.sql("SELECT * FROM _stream_static").collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.catalog.dropTempView("_stream_static")
+    return spark.createDataFrame(rows, out_schema)
+
+
 def _q_stream_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION via the built-in
     `dropDuplicatesWithinWatermark` (Spark 3.5+) — the streaming twin of
@@ -2386,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seen_text": _q_streaming_seen_text,
         "stream_join_errors": _q_stream_join_errors,
         "stream_dedup_turns": _q_stream_dedup_turns,
+        "stream_static_join": _q_stream_static_join,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         "bloom_fpr": _q_bloom_fpr,
     }
@@ -2787,6 +2835,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
                    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM probe WHERE text IN (SELECT text FROM corpus)
+        """,
+        "stream_static_join": f"""
+            WITH transcripts AS ({_TRANSCRIPTS_SQL}),
+            dim AS (SELECT tool, CAST(COUNT(*) AS BIGINT) AS tool_total
+                    FROM transcripts GROUP BY tool)
+            SELECT t.tool, CAST(COUNT(*) AS BIGINT) AS n_turns, d.tool_total
+            FROM transcripts t JOIN dim d USING (tool)
+            GROUP BY t.tool, d.tool_total
         """,
         "stream_dedup_turns": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL})

@@ -68,3 +68,26 @@ def write_zordered(df: DataFrame, path: str, zcol: Column, n_files: int) -> None
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_encode(vals: list[int], bits: int) -> int:
+    """Pure-python reference of :func:`zorder_key` for one point (tests
+    pin the Spark/SQL forms equal to this)."""
+    k = len(vals)
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * k + j)
+    return z
+
+
+def morton_decode(z: int, k: int, bits: int) -> list[int]:
+    """Inverse of :func:`morton_encode` — recover the k normalized
+    coordinates from a z-value (useful for debugging file ranges:
+    a file's min/max z decode to the corner coordinates of its
+    covering region)."""
+    vals = [0] * k
+    for i in range(bits):
+        for j in range(k):
+            vals[j] |= ((z >> (i * k + j)) & 1) << i
+    return vals

@@ -90,3 +90,34 @@ def test_zorder_layout_concentrates_range_predicates(spark, tmp_path):
     assert zt <= 8  # z-order: the slab lives in a minority of files
     # and the data survived intact
     assert spark.read.parquet(zpath).count() == df.count()
+
+
+def test_morton_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bloomfilter_multithread_spark.operators.layout import (
+        morton_decode,
+        morton_encode,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << 15) - 1),
+                 min_size=2, max_size=4)
+    )
+    def check(vals):
+        bits = 15
+        z = morton_encode(vals, bits)
+        assert morton_decode(z, len(vals), bits) == vals
+        assert 0 <= z < 1 << (bits * len(vals))
+
+    check()
+
+
+def test_spark_key_matches_python_reference_spot(spark):
+    from bloomfilter_multithread_spark.operators.layout import morton_encode
+
+    df = spark.createDataFrame([(5, 1023), (0, 0), (777, 312)], "a long, b long")
+    got = [r["z"] for r in df.select(zorder_key(["a", "b"], 10).alias("z")).collect()]
+    assert got == [morton_encode([a, b], 10) for a, b in [(5, 1023), (0, 0), (777, 312)]]
