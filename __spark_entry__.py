@@ -2240,6 +2240,26 @@ def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based SESSION windows (`F.session_window`, the third
+    built-in window shape next to tumbling/hopping): turns closer than
+    a 1-day gap merge into one session; output is per-conversation
+    session statistics (counts only — no timestamps cross the engine
+    boundary). The oracle is the classic SQL gaps-and-islands
+    decomposition (lag + running sum), matching session_window's
+    half-open [start, last+gap) semantics via a >=-gap break."""
+    tr = _transcripts_from_events(spark, sf_dir)
+    sess = (
+        tr.groupBy("conv_id", F.session_window("ts", "1 day"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return sess.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_turns"),
+        F.max("n").cast("long").alias("max_session_turns"),
+    )
+
+
 def _q_stream_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DEDUPLICATION via the built-in
     `dropDuplicatesWithinWatermark` (Spark 3.5+) — the streaming twin of
@@ -2378,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_distinct": _q_grouped_distinct,
         "windowed_distinct": _q_windowed_distinct,
         "hopping_distinct": _q_hopping_distinct,
+        "session_windows": _q_session_windows,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -2607,6 +2628,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "session_windows": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            l AS (
+                SELECT conv_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 1 DAY
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM t
+                WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            s AS (
+                SELECT conv_id,
+                       SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM l
+            ),
+            g AS (SELECT conv_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_turns,
+                   CAST(MAX(n) AS BIGINT) AS max_session_turns
+            FROM g GROUP BY conv_id
         """,
         "hopping_distinct": """
             WITH d AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
