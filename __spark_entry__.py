@@ -2240,6 +2240,29 @@ def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: the JSON `props` payload parsed TWO ways
+    — the classic string-path `get_json_object` and Spark 4's
+    VariantType (`parse_json` → `try_variant_get`, the open binary JSON
+    encoding) — aggregated per event type with an in-query witness that
+    the two routes agree on every row. At 100 TB the variant route is
+    the one that scales (parse once, binary-navigate many fields)
+    while the oracle mirrors the semantics with DuckDB's JSON
+    extraction."""
+    ev = _read(spark, sf_dir, "events")
+    k1 = F.get_json_object("props", "$.k").cast("long")
+    k2 = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    d = ev.select("event_type", k1.alias("k1"), k2.alias("k2"))
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("k1").cast("long").alias("n_with_k"),
+        F.sum("k1").cast("long").alias("sum_k"),
+        F.max("k1").cast("long").alias("max_k"),
+        (F.sum(F.expr("CASE WHEN k1 IS DISTINCT FROM k2 THEN 1 ELSE 0 END")) == 0)
+        .alias("variant_route_agrees"),
+    )
+
+
 def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native gap-based SESSION windows (`F.session_window`, the third
     built-in window shape next to tumbling/hopping): turns closer than
@@ -2399,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_distinct": _q_windowed_distinct,
         "hopping_distinct": _q_hopping_distinct,
         "session_windows": _q_session_windows,
+        "json_props_stats": _q_json_props_stats,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -2628,6 +2652,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(k) AS BIGINT) AS n_with_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   TRUE AS variant_route_agrees
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "session_windows": f"""
             WITH t AS ({_TRANSCRIPTS_SQL}),
