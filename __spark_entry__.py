@@ -2240,6 +2240,44 @@ def _q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out_schema)
 
 
+def _q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability surface: `df.observe(Observation(...))`
+    attaches named metrics that are computed DURING the main action —
+    the production hook for row-count/invariant monitoring without a
+    second scan (the API form of plans/checkpoint.py's per-partition
+    lineage counters). The gate runs a per-type aggregate over the
+    observed scan, reads back the observed totals, and emits them with
+    a witness that the side-channel metrics equal the aggregate's own
+    sums — one pass, metrics for free."""
+    from pyspark.sql import Observation
+
+    ev = _read(spark, sf_dir, "events")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("props").alias("n_props"),
+    )
+    per_type = [
+        (r["event_type"], r["n_rows"], r["n_props"])
+        for r in observed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("props").cast("long").alias("n_props"),
+        )
+        .collect()
+    ]
+    m = obs.get  # available once the collect above ran
+    total, props_total = int(m["n_total"]), int(m["n_props"])
+    ok = total == sum(r[1] for r in per_type) and props_total == sum(
+        r[2] for r in per_type
+    )
+    return spark.createDataFrame(
+        [(t, n, p, total, ok) for t, n, p in per_type],
+        "event_type string, n_rows long, n_props long, observed_total long, metrics_match boolean",
+    )
+
+
 def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: the JSON `props` payload parsed TWO ways
     — the classic string-path `get_json_object` and Spark 4's
@@ -2423,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_distinct": _q_hopping_distinct,
         "session_windows": _q_session_windows,
         "json_props_stats": _q_json_props_stats,
+        "observed_metrics": _q_observed_metrics,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "shingle_stats": _q_shingle_stats,
@@ -2652,6 +2691,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "observed_metrics": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(props) AS BIGINT) AS n_props,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS observed_total,
+                   TRUE AS metrics_match
+            FROM events GROUP BY event_type
         """,
         "json_props_stats": """
             SELECT event_type,
