@@ -2278,6 +2278,28 @@ def _q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth dedup under the gate: even-id documents are the
+    PERSISTED historical corpus (MinHash band rows written to a state
+    dir inside the query), odd-id documents are the new batch — deduped
+    against the loaded state via the bucketed band join, history never
+    re-signatured (operators/dedup.py::incremental_neardup). The oracle
+    is the exact cross-set Jaccard at the same threshold: precision is
+    exact by the confirm step, and the planted near-dup pairs sit far
+    above the LSH s-curve so recall is 1 on this fixture."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.dedup import incremental_neardup
+
+    docs = _read(spark, sf_dir, "documents")
+    hist = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    with tempfile.TemporaryDirectory() as td:
+        out = incremental_neardup(hist, new, f"{td}/state", threshold=0.8)
+        rows = [tuple(r) for r in out.collect()]
+    return spark.createDataFrame(rows, "id_old long, id_new long, jaccard_bp long")
+
+
 def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: the JSON `props` payload parsed TWO ways
     — the classic string-path `get_json_object` and Spark 4's
@@ -2467,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_stats": _q_shingle_stats,
         "rolled_kmer_seen": _q_rolled_kmer_seen,
         "minhash_neardup": _q_minhash_neardup,
+        "incremental_neardup": _q_incremental_neardup,
         "neardup_clusters": _q_neardup_clusters,
         "asof_join_events": _q_asof_join_events,
         "band_join_events": _q_band_join_events,
@@ -2553,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.functions.shingles import duckdb_shingles_cte
     from bloomfilter_multithread_spark.operators.dedup import (
         duckdb_dupngram_sql,
+        duckdb_incremental_pairs_sql,
         duckdb_jaccard_pairs_sql,
         duckdb_simhash_pairs_sql,
     )
@@ -2603,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "minhash_neardup": jacc,
+        "incremental_neardup": duckdb_incremental_pairs_sql("documents", "doc_id", "text", 5, 0.8),
         "neardup_clusters": duckdb_components_sql(jacc),
         "asof_join_events": """
             WITH probe AS (SELECT event_id, user_id, ts FROM events

@@ -86,11 +86,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return agg.select(id_col, F.array(*[f"m{i}" for i in range(n_perm)]).alias("sig"))
 
 
-def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id", bands: int = 16,
-                           max_bucket: int = 1000) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_hash).
-    Returns candidate pairs (id_a < id_b). With n_perm=64, bands=16 (r=4),
-    the s-curve crosses 0.5 near s≈0.58."""
+def band_signatures(sigs: DataFrame, id_col: str = "doc_id", bands: int = 16,
+                    max_bucket: int = 1000) -> DataFrame:
+    """(_id, band_idx, band_hash) band rows for a signature table — the
+    shared LSH bucketing of the self-join (`minhash_lsh_candidates`)
+    and the incremental historical-state path (`incremental_neardup`).
+    Buckets larger than ``max_bucket`` are dropped (boilerplate skew)."""
     n_perm_col = F.size("sig")
     rows_per_band = (n_perm_col / bands).cast("int")
     banded = (
@@ -110,9 +111,20 @@ def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id", bands: int =
         )
         .select("_id", "bnd.band_idx", "bnd.band_hash")
     )
-    # cap pathological buckets (boilerplate skew) explicitly
     wcnt = Window.partitionBy("band_idx", "band_hash")
-    banded = banded.withColumn("_bn", F.count("*").over(wcnt)).where(F.col("_bn") <= max_bucket)
+    return (
+        banded.withColumn("_bn", F.count("*").over(wcnt))
+        .where(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+
+
+def minhash_lsh_candidates(sigs: DataFrame, id_col: str = "doc_id", bands: int = 16,
+                           max_bucket: int = 1000) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash).
+    Returns candidate pairs (id_a < id_b). With n_perm=64, bands=16 (r=4),
+    the s-curve crosses 0.5 near s≈0.58."""
+    banded = band_signatures(sigs, id_col, bands, max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -412,4 +424,75 @@ def duckdb_dupngram_sql(table: str = "documents", id_col: str = "doc_id",
                CAST(FLOOR(10000.0 * SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)
                           / COUNT(*)) AS BIGINT) AS dup_bp
         FROM c GROUP BY {id_col}
+    """
+
+
+def incremental_neardup(hist_df: DataFrame, new_df: DataFrame, state_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, n_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Near-dup detection of a NEW batch against PERSISTED historical
+    state — the corpus-growth shape: a crawl lands daily, and each batch
+    must be deduped against everything already ingested WITHOUT
+    re-signaturing history. The historical MinHash band rows
+    (16 B + hash per (doc, band)) are written once to ``state_dir``;
+    each new batch computes only its own signatures, equi-joins its
+    bands against the LOADED state (bucketed join on (band_idx,
+    band_hash) — never a cross product), and exactly confirms the
+    candidates. At 10^12 turns the state is O(docs × bands), the
+    per-batch cost O(batch), and history is never rescanned.
+
+    Returns (id_old, id_new, jaccard_bp) with id_old ∈ hist, id_new ∈
+    new. Precision is exact (confirm); recall follows the LSH s-curve,
+    same seed ⇒ same permutations on both sides across runs."""
+    spark = hist_df.sparkSession
+    band_signatures(
+        minhash_signatures(hist_df, id_col, text_col, k, n_perm, seed),
+        id_col, bands,
+    ).write.mode("overwrite").parquet(state_dir)
+    hist_bands = spark.read.parquet(state_dir)
+    new_bands = band_signatures(
+        minhash_signatures(new_df, id_col, text_col, k, n_perm, seed),
+        id_col, bands,
+    )
+    cands = (
+        hist_bands.alias("h")
+        .join(
+            new_bands.alias("n"),
+            (F.col("h.band_idx") == F.col("n.band_idx"))
+            & (F.col("h.band_hash") == F.col("n.band_hash")),
+        )
+        .select(F.col("h._id").alias("id_a"), F.col("n._id").alias("id_b"))
+        .distinct()
+    )
+    both = hist_df.select(id_col, text_col).union(new_df.select(id_col, text_col))
+    return exact_jaccard_pairs(both, cands, id_col, text_col, k, threshold).select(
+        F.col("id_a").alias("id_old"), F.col("id_b").alias("id_new"), "jaccard_bp"
+    )
+
+
+def duckdb_incremental_pairs_sql(table: str = "documents", id_col: str = "doc_id",
+                                 text_col: str = "text", k: int = 5,
+                                 threshold: float = 0.8) -> str:
+    """Exact cross-set (even-historical × odd-new) Jaccard pairs —
+    oracle of :func:`incremental_neardup` on the parity split (precision
+    exact by the confirm; recall 1 for pairs far above the s-curve, as
+    the planted fixture's are)."""
+    from ..functions.shingles import duckdb_shingles_cte
+
+    cte = duckdb_shingles_cte(table, id_col, text_col, k)
+    return f"""
+        WITH sh AS ({cte}),
+        d AS (SELECT DISTINCT {id_col} AS _id, shingle FROM sh),
+        sz AS (SELECT _id, COUNT(*) AS n FROM d GROUP BY _id),
+        c AS (SELECT a._id AS id_old, b._id AS id_new, COUNT(*) AS n_common
+              FROM d a JOIN d b ON a.shingle = b.shingle
+              WHERE a._id % 2 = 0 AND b._id % 2 = 1
+              GROUP BY a._id, b._id)
+        SELECT CAST(id_old AS BIGINT) AS id_old, CAST(id_new AS BIGINT) AS id_new,
+               CAST(FLOOR(n_common * 10000.0 / (x.n + y.n - n_common) + 0.5) AS BIGINT)
+                 AS jaccard_bp
+        FROM c JOIN sz x ON c.id_old = x._id JOIN sz y ON c.id_new = y._id
+        WHERE FLOOR(n_common * 10000.0 / (x.n + y.n - n_common) + 0.5)
+              >= {int(threshold * 10000)}
     """

@@ -361,3 +361,32 @@ class TestJLProjection:
             ratios.append(d2p / (16 * d2o))
         # E[ratio] = 1, var per pair ~2/k -> se over 100 pairs ~0.035
         assert abs(float(np.mean(ratios)) - 1.0) < 0.2
+
+
+def test_incremental_neardup_matches_cross_parity_full_dedup(spark, tmp_path):
+    """Dedup-against-history must find exactly the cross-set pairs the
+    full self-dedup finds: same signatures, same bands, same exact
+    confirm — only the candidate topology (state join vs self-join)
+    differs. Also proves the persisted band state round-trips through
+    parquet."""
+    from bloomfilter_multithread_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = minhash_dedup(docs, threshold=0.8).collect()
+    cross = {
+        (r["id_a"], r["id_b"]) if r["id_a"] % 2 == 0 else (r["id_b"], r["id_a"])
+        for r in full
+        if r["id_a"] % 2 != r["id_b"] % 2
+    }
+    inc = incremental_neardup(
+        docs.where("doc_id % 2 = 0"),
+        docs.where("doc_id % 2 = 1"),
+        str(tmp_path / "state"),
+        threshold=0.8,
+    ).collect()
+    got = {(r["id_old"], r["id_new"]) for r in inc}
+    assert got == cross
+    assert all(r["id_old"] % 2 == 0 and r["id_new"] % 2 == 1 for r in inc)
