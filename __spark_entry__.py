@@ -2300,6 +2300,40 @@ def _q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "id_old long, id_new long, jaccard_bp long")
 
 
+def _q_sql_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF registration surface (Spark 3.5+): the shingle
+    exploder as a table function registered into the catalog and
+    invoked from pure SQL via a LATERAL join — completing the
+    UDF(+UDAF via sketches)+UDTF registration triangle the SQL surface
+    needs. Row-at-a-time Python is deliberately NOT the hot path (the
+    engine's shingling is the JVM codegen form in functions/shingles.py,
+    which the oracle mirrors); this gates that the registered-UDTF
+    ROUTE produces byte-identical shingles."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shingle string")
+    class ShingleUDTF:
+        def eval(self, text: str, k: int):
+            toks = text.split()
+            if len(toks) < k:
+                yield (" ".join(toks),)
+            else:
+                for i in range(len(toks) - k + 1):
+                    yield (" ".join(toks[i : i + k]),)
+
+    spark.udtf.register("shingles_udtf", ShingleUDTF)
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               MIN(md5(s.shingle)) AS fp
+        FROM _udtf_docs d, LATERAL shingles_udtf(d.text, 5) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
 def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: the JSON `props` payload parsed TWO ways
     — the classic string-path `get_json_object` and Spark 4's
@@ -2530,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_convs_per_tool": _q_rank_convs_per_tool,
         "sql_pricing_summary": _q_sql_pricing_summary,
         "sql_udf_seen": _q_sql_udf_seen,
+        "sql_udtf_shingles": _q_sql_udtf_shingles,
         "set_ops_rows": _q_set_ops_rows,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
@@ -2832,6 +2867,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_quantity <= 30
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_udtf_shingles": f"""
+            WITH sh AS ({duckdb_shingles_cte("documents", "doc_id", "text", 5)})
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   MIN(md5(shingle)) AS fp
+            FROM sh GROUP BY doc_id
         """,
         "sql_udf_seen": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),
