@@ -2308,13 +2308,30 @@ def _q_sql_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. Row-at-a-time Python is deliberately NOT the hot path (the
     engine's shingling is the JVM codegen form in functions/shingles.py,
     which the oracle mirrors); this gates that the registered-UDTF
-    ROUTE produces byte-identical shingles."""
+    ROUTE produces byte-identical shingles.
+
+    Tokenization parity caveat (ADVICE r3): the JVM shingler
+    (functions/shingles.py) splits on Java-regex ``\\s+`` and the DuckDB
+    mirror on RE2 ``\\s+`` — both ASCII-only — while Python's bare
+    ``str.split()`` splits on ALL Unicode whitespace. The UDTF therefore
+    splits on an EXPLICIT ASCII whitespace class so three-engine parity
+    holds by construction, not by fixture luck, and guards NULL/empty
+    text exactly like the JVM route: NULL → no rows (split(NULL) is
+    NULL, explode drops it); empty/all-whitespace → ONE empty shingle
+    (Spark split(trim(''), '\\s+') = [''] → the <k-tokens whole-text
+    branch emits '')."""
+    import re as _re
+
     from pyspark.sql.functions import udtf
+
+    _ascii_ws = _re.compile(r"[ \t\n\r\f\x0b]+")
 
     @udtf(returnType="shingle string")
     class ShingleUDTF:
         def eval(self, text: str, k: int):
-            toks = text.split()
+            if text is None:
+                return
+            toks = [t for t in _ascii_ws.split(text) if t] or [""]
             if len(toks) < k:
                 yield (" ".join(toks),)
             else:

@@ -422,24 +422,60 @@ def main() -> None:
                                        "tps_big", "sec_small", "sec_big", "efficiency")},
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_build_total",
-                "value": round(sum(results.values()), 3),
-                "unit": "sec",
-                "queries": results,
-                "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
-                "throughput": {
-                    "lineitem_rows_per_sec": round(n_li / li_sec, 1),
-                    "transcript_turns_per_sec": round(tps_big, 1),
-                    "transcript_turns": turns,
-                    "transcript_build_epoch_secs": [b["sec"] for b in build_epochs],
-                },
-                "scaling": scaling,
-            }
-        )
+    full = {
+        "metric": "headline_queries_plus_build_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "throughput": {
+            "lineitem_rows_per_sec": round(n_li / li_sec, 1),
+            "transcript_turns_per_sec": round(tps_big, 1),
+            "transcript_turns": turns,
+            "transcript_build_epoch_secs": [b["sec"] for b in build_epochs],
+        },
+        "scaling": scaling,
+    }
+    # Full per-query / per-epoch detail goes to a FILE; stdout gets ONE
+    # compact line. Round 3's driver artifact landed as parsed:null because
+    # the full JSON (85 query timings + nested epoch arrays) outgrew the
+    # driver's output-tail buffer and the tail started mid-dict
+    # (VERDICT.md round 3, "What's wrong" #1). The last stdout line is
+    # now bounded: headline totals, throughput, per-pair scaling
+    # efficiencies, and only the 10 slowest queries.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "BENCH_full.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact_pairs = [
+        {k: p[k] for k in ("cores_small", "cores_big", "tps_small", "tps_big",
+                           "sec_small", "sec_big", "efficiency",
+                           "efficiency_best", "trials", "epochs",
+                           "bandwidth_constrained")}
+        for p in scaling.get("pairs", [])
+    ]
+    compact_scaling = (
+        {**{k: scaling[k] for k in ("job", "turns", "cores_small", "cores_big",
+                                    "tps_small", "tps_big", "sec_small",
+                                    "sec_big", "efficiency")},
+         "pairs": compact_pairs}
+        if scaling else {}
     )
+    slowest = dict(sorted(results.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "sf": full["sf"],
+        "n_queries": len(results),
+        "queries": slowest,
+        "queries_note": "10 slowest of %d; all timings in docs/BENCH_full.json"
+                        % len(results),
+        "throughput": full["throughput"],
+        "scaling": compact_scaling,
+        "full_detail": "docs/BENCH_full.json",
+    }))
 
 
 if __name__ == "__main__":

@@ -427,29 +427,39 @@ def duckdb_dupngram_sql(table: str = "documents", id_col: str = "doc_id",
     """
 
 
-def incremental_neardup(hist_df: DataFrame, new_df: DataFrame, state_dir: str,
+def build_neardup_state(hist_df: DataFrame, state_dir: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 5, n_perm: int = 64, bands: int = 16,
-                        threshold: float = 0.8, seed: int = 42) -> DataFrame:
-    """Near-dup detection of a NEW batch against PERSISTED historical
-    state — the corpus-growth shape: a crawl lands daily, and each batch
-    must be deduped against everything already ingested WITHOUT
-    re-signaturing history. The historical MinHash band rows
-    (16 B + hash per (doc, band)) are written once to ``state_dir``;
-    each new batch computes only its own signatures, equi-joins its
-    bands against the LOADED state (bucketed join on (band_idx,
-    band_hash) — never a cross product), and exactly confirms the
-    candidates. At 10^12 turns the state is O(docs × bands), the
-    per-batch cost O(batch), and history is never rescanned.
-
-    Returns (id_old, id_new, jaccard_bp) with id_old ∈ hist, id_new ∈
-    new. Precision is exact (confirm); recall follows the LSH s-curve,
-    same seed ⇒ same permutations on both sides across runs."""
-    spark = hist_df.sparkSession
+                        seed: int = 42) -> None:
+    """Signature + band the historical corpus ONCE and persist the
+    MinHash band rows (16 B + hash per (doc, band)) to ``state_dir``.
+    This is the only step that ever scans historical text; everything
+    after (probe_neardup) touches only the persisted band rows plus the
+    texts of confirmed CANDIDATES."""
     band_signatures(
         minhash_signatures(hist_df, id_col, text_col, k, n_perm, seed),
         id_col, bands,
     ).write.mode("overwrite").parquet(state_dir)
+
+
+def probe_neardup(new_df: DataFrame, state_dir: str, hist_text_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5, n_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Near-dup detection of a NEW batch against the PERSISTED band
+    state written by :func:`build_neardup_state` — history is never
+    re-signatured. The batch computes only its own signatures, equi-joins
+    its bands against the loaded state (bucketed join on (band_idx,
+    band_hash) — never a cross product) and exactly confirms the
+    candidates. ``hist_text_df`` supplies historical TEXT for the
+    confirm step only; exact_jaccard_pairs restricts shingling to
+    candidate ids, so at 10^12 turns the per-batch cost is
+    O(batch + candidates), not O(history).
+
+    Returns (id_old, id_new, jaccard_bp) with id_old ∈ hist, id_new ∈
+    new. Precision is exact (confirm); recall follows the LSH s-curve,
+    same seed ⇒ same permutations on both sides across runs."""
+    spark = new_df.sparkSession
     hist_bands = spark.read.parquet(state_dir)
     new_bands = band_signatures(
         minhash_signatures(new_df, id_col, text_col, k, n_perm, seed),
@@ -465,10 +475,32 @@ def incremental_neardup(hist_df: DataFrame, new_df: DataFrame, state_dir: str,
         .select(F.col("h._id").alias("id_a"), F.col("n._id").alias("id_b"))
         .distinct()
     )
-    both = hist_df.select(id_col, text_col).union(new_df.select(id_col, text_col))
+    both = hist_text_df.select(id_col, text_col).union(
+        new_df.select(id_col, text_col)
+    )
     return exact_jaccard_pairs(both, cands, id_col, text_col, k, threshold).select(
         F.col("id_a").alias("id_old"), F.col("id_b").alias("id_new"), "jaccard_bp"
     )
+
+
+def incremental_neardup(hist_df: DataFrame, new_df: DataFrame, state_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, n_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Corpus-growth near-dup: build-once + probe composition. If
+    ``state_dir`` already holds committed band state (parquet _SUCCESS
+    marker), it is REUSED as-is — history is not rescanned and the
+    state is not rewritten (ADVICE r3: the previous version re-built
+    state on every call, contradicting this contract); otherwise
+    :func:`build_neardup_state` writes it once. Then
+    :func:`probe_neardup` runs the new batch against the state."""
+    import os
+
+    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        build_neardup_state(hist_df, state_dir, id_col, text_col, k,
+                            n_perm, bands, seed)
+    return probe_neardup(new_df, state_dir, hist_df, id_col, text_col, k,
+                         n_perm, bands, threshold, seed)
 
 
 def duckdb_incremental_pairs_sql(table: str = "documents", id_col: str = "doc_id",

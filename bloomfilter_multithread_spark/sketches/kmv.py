@@ -120,11 +120,24 @@ class KMVSketch(MergeableSketch):
     def estimate_union(self, other: "KMVSketch") -> float:
         return self.copy().merge(other).estimate()
 
+    @property
+    def _theta_cut(self):
+        """Raw uint64 exclusive sampling threshold: the k-th smallest
+        retained hash when saturated, else None (threshold 2^64 — every
+        distinct hash retained). Kept in integer space: reconstructing
+        the cut from float64 ``theta`` rounds at 53 bits and can land an
+        ulp ABOVE the true threshold, re-admitting the k-th value itself
+        and breaking the strictly-below-theta membership invariant."""
+        return self.values[self.k - 1] if self.saturated else None
+
     def _common_theta_samples(self, other: "KMVSketch"):
-        theta = min(self.theta, other.theta)
-        cut = np.uint64(int(theta * _TWO64)) if theta < 1.0 else None
-        a = self._sample() if cut is None else self.values[self.values < cut]
-        return theta, a
+        cuts = [c for c in (self._theta_cut, other._theta_cut) if c is not None]
+        if not cuts:
+            return 1.0, self._sample()
+        cut = min(cuts)
+        # float theta is used ONLY for the final |sample|/theta division
+        # (relative-ulp error on the estimate, not on membership)
+        return float(cut) / _TWO64, self.values[self.values < cut]
 
     def estimate_intersection(self, other: "KMVSketch") -> float:
         """|A ∩ B| from the theta-samples directly (NOT inclusion–

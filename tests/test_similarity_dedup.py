@@ -390,3 +390,40 @@ def test_incremental_neardup_matches_cross_parity_full_dedup(spark, tmp_path):
     got = {(r["id_old"], r["id_new"]) for r in inc}
     assert got == cross
     assert all(r["id_old"] % 2 == 0 and r["id_new"] % 2 == 1 for r in inc)
+
+
+def test_incremental_neardup_reuses_persisted_state(spark, tmp_path):
+    """The incremental contract (ADVICE r3): band state is written ONCE;
+    a second batch against the same state_dir must neither re-signature
+    history nor rewrite the state files, and the explicit
+    build_neardup_state + probe_neardup split must equal the composed
+    incremental_neardup."""
+    import os
+
+    from bloomfilter_multithread_spark.operators.dedup import (
+        build_neardup_state,
+        incremental_neardup,
+        probe_neardup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    state = str(tmp_path / "state")
+
+    build_neardup_state(hist, state)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(state, f)) for f in os.listdir(state)
+    }
+    split_rows = {
+        tuple(r) for r in probe_neardup(new, state, hist, threshold=0.8).collect()
+    }
+    composed = {
+        tuple(r)
+        for r in incremental_neardup(hist, new, state, threshold=0.8).collect()
+    }
+    assert composed == split_rows and composed
+    after = {
+        f: os.path.getmtime(os.path.join(state, f)) for f in os.listdir(state)
+    }
+    assert after == mtimes, "state_dir was rewritten despite existing _SUCCESS"
