@@ -100,8 +100,8 @@ def stratified_hash_sample(df: DataFrame, key: Column | str, strata: Column | st
 
 
 def group_sample_topk(df: DataFrame, key: Column | str, group: Column | str,
-                      n: int, seed: str = "", key_order: Column | str | None = None
-                      ) -> DataFrame:
+                      n: int, seed: str = "", key_order: Column | str | None = None,
+                      prethin_cutoff: int | None = None) -> DataFrame:
     """Fixed-SIZE per-group sample: the ``n`` rows of each group with the
     smallest key-hash (bottom-k by hash order — the KMV idea applied to
     row selection). Complements the fixed-RATE samplers above where a
@@ -117,12 +117,17 @@ def group_sample_topk(df: DataFrame, key: Column | str, group: Column | str,
     deterministic on both engines.
 
     Scale: one hash shuffle on ``group`` + per-group sort (the standard
-    rank-filter shape). For pathologically hot groups, pre-thin map-side
-    with a coarse cutoff on the SAME hash (``where(h < c)`` for
-    c >> n * 2^32 / |group|) — bottom-k commutes with a prefix filter on
-    its own order, so the two-phase result is identical whenever the cut
-    keeps at least n rows per group (NOT the ppm-bucket filter of
-    ``hash_sample``, which is h mod 1e6 and does not prefix this order).
+    rank-filter shape). For pathologically hot groups pass
+    ``prethin_cutoff``: a map-side prefix filter ``where(h < cutoff)``
+    on the SAME 32-bit hash order, fused into the scan BEFORE the
+    shuffle, so a hot group ships ~cutoff/2^32 of its rows instead of
+    all of them. Bottom-k commutes with a prefix filter on its own
+    order, so the two-phase result is IDENTICAL to the one-phase result
+    whenever the cut keeps at least n rows in every group — choose
+    cutoff >> n * 2^32 / min_group_rows (e.g. 10x). It must be the raw
+    hash prefix, NOT the ppm-bucket filter of ``hash_sample`` (h mod
+    1e6 does not prefix this order). Identity + skew behavior are
+    pinned by tests/test_sampling.py::test_group_sample_prethin_*.
     """
     from pyspark.sql import Window
 
@@ -133,6 +138,10 @@ def group_sample_topk(df: DataFrame, key: Column | str, group: Column | str,
     tie = F.col(tie) if isinstance(tie, str) else tie
     h = md5_hash_col(F.concat((F.col(key) if isinstance(key, str) else key)
                               .cast("string"), F.lit(seed)))
+    if prethin_cutoff is not None:
+        if not 0 < prethin_cutoff <= 1 << 32:
+            raise ValueError("prethin_cutoff in (0, 2^32]")
+        df = df.where(h < F.lit(int(prethin_cutoff)))
     w = Window.partitionBy(g).orderBy(h.asc(), tie.asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))

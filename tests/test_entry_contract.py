@@ -99,6 +99,21 @@ def test_ann_plans_quadratic_only_in_recall_witness(spark, name):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, name
 
 
+def test_cosine_topk_bnlj_allowance_is_pinned(spark):
+    """cosine_topk is the sanctioned EXACT witness (VERDICT r3 #4): its
+    Q x N scan is allowed exactly ONE BroadcastNestedLoopJoin, and the
+    broadcast (build) side must be the bounded QUERY side — the corpus
+    is streamed, never broadcast, so the shape stays linear in N for a
+    broadcast-small query set. Never the serving path; ANN queries are."""
+    df = entrymod.queries()["cosine_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # vectors.crossJoin(broadcast(queries)) => build side is the right
+    # (query) side; a BuildLeft here would mean the CORPUS got broadcast
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
 # VERDICT round 2 #4: candidate dedup (and every other shuffle) in the
 # LSH/IVF queries must move ids and scores, never the 64-dim embeddings —
 # at 100 TB a .distinct() that carries vectors shuffles ~1 KB per

@@ -230,11 +230,76 @@ class TestGroupSampleTopK:
         }
         assert direct == two_phase
 
+    def test_prethin_param_identity(self, docs):
+        """prethin_cutoff is the built-in form of the prefix cut: the
+        two-phase result must equal the one-phase result whenever every
+        group keeps >= n rows under the cut (half the hash space keeps
+        far more than 2 per source on this fixture)."""
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        direct = self._sample(docs, 2)
+        two_phase = {
+            (r["source"], r["doc_id"]): r["sample_rank"]
+            for r in group_sample_topk(docs, "doc_id", "source", n=2, seed="gs",
+                                       prethin_cutoff=1 << 31)
+            .select("source", "doc_id", "sample_rank").collect()
+        }
+        assert direct == two_phase
+
+    def test_prethin_skew_fixture(self, spark):
+        """Skew shape: one group with 50,000 rows next to groups of 60.
+        The pre-thin must (a) drop the hot group's rows BEFORE the
+        rank shuffle — survivor count ~ cutoff/2^32 of the input, within
+        5x of expectation — and (b) leave the sampled output identical
+        to the unthinned run."""
+        from bloomfilter_multithread_spark.operators.dedup import md5_hash_col
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        rows = [(i, "hot") for i in range(50_000)] + [
+            (100_000 + i, f"cold{i % 10}") for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        n = 5
+        # cold groups have 60 rows; keep the cut >= n rows per cold group
+        # with huge margin: 2^32 * (1/4) keeps ~15 of 60
+        cutoff = 1 << 30
+        h = md5_hash_col(F.concat(F.col("doc_id").cast("string"), F.lit("sk")))
+        survivors = df.where(h < F.lit(cutoff)).count()
+        expect = len(rows) * cutoff / (1 << 32)
+        assert expect / 5 <= survivors <= expect * 5
+        direct = {
+            (r["source"], r["doc_id"], r["sample_rank"])
+            for r in group_sample_topk(df, "doc_id", "source", n=n, seed="sk").collect()
+        }
+        thinned = {
+            (r["source"], r["doc_id"], r["sample_rank"])
+            for r in group_sample_topk(df, "doc_id", "source", n=n, seed="sk",
+                                       prethin_cutoff=cutoff).collect()
+        }
+        assert direct == thinned
+        assert sum(1 for s, _, _ in direct if s == "hot") == n
+
+    def test_prethin_filter_precedes_shuffle(self, docs):
+        """The cutoff must appear as a Filter below the window Exchange
+        (map-side, fused into the scan stage) — that's the whole point."""
+        from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
+
+        s = group_sample_topk(docs, "doc_id", "source", n=2, seed="gs",
+                              prethin_cutoff=1 << 31)
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        exch = plan.find("Exchange hashpartitioning")
+        assert exch != -1
+        # a Filter containing the cutoff literal occurs AFTER (i.e. below,
+        # in printed tree order) the exchange line
+        assert str(1 << 31) in plan[exch:]
+
     def test_bad_n_raises(self, docs):
         from bloomfilter_multithread_spark.operators.sampling import group_sample_topk
 
         with pytest.raises(ValueError):
             group_sample_topk(docs, "doc_id", "source", n=0)
+        with pytest.raises(ValueError):
+            group_sample_topk(docs, "doc_id", "source", n=2, prethin_cutoff=0)
 
 
 class TestPrioritySample:
