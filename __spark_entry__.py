@@ -1557,20 +1557,29 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode + feature extraction over binary payloads via
-    mapInPandas. The stub derives feature[0] from a single
-    sha256(payload) digest in exact float64 steps, so the DuckDB oracle
-    reproduces f0_milli bit-for-bit — the mapInPandas path itself (Arrow
-    batches, binary columns, fixed-width array out) is what's under
-    test."""
+    mapInPandas, with the FULL 32-element feature vector value-checked
+    (VERDICT r3 #3): the stub walks a sha256 hex-digest chain in exact
+    float64 steps, so the DuckDB oracle reproduces every element — the
+    contract emits f0_milli plus the sum and bit-xor of all 32
+    milli-quantized elements, pinning the whole vector, while the
+    mapInPandas path itself (Arrow batches, binary columns, fixed-width
+    array out) is what's under test."""
     from bloomfilter_multithread_spark.operators.multimodal import extract_features
 
     docs = _read(spark, sf_dir, "documents")
     media = _media_from_docs(docs)
     feats = extract_features(media, "payload", dim=32)
+    milli = F.transform(
+        "feature", lambda v: F.floor(v * 1000 + F.lit(0.5)).cast("long")
+    )
     return feats.select(
         "media_id",
         F.size("feature").alias("feature_dim"),
         F.floor(F.element_at("feature", 1) * 1000 + F.lit(0.5)).cast("long").alias("f0_milli"),
+        F.aggregate(milli, F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("feat_milli_sum"),
+        F.aggregate(milli, F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x))
+        .alias("feat_milli_xor"),
     )
 
 
@@ -2842,16 +2851,33 @@ def oracle_sql() -> dict[str, str]:
                                                         1000)) AS frame_ts_ms) g
             WHERE doc_id % 3 = 2
         """,
-        # feature[0] = first little-endian uint32 of sha256(payload) over
-        # 2^31, minus 1 — exact in float64 on both engines (payload is
-        # the utf-8 text bytes)
+        # full 32-element mirror of the stub decoder: digest chain
+        # sha256(text), sha256(hex), ... (hex-space chain — DuckDB
+        # sha256 is VARCHAR-only); element 8d+j = little-endian uint32
+        # word j of digest d, / 2^31 - 1, exact in float64 on both
+        # engines; the sum and bit-xor of the milli-quantized elements
+        # pin the whole vector
         "multimodal_features": """
+            WITH c AS (SELECT doc_id, sha256(text) AS h0 FROM documents),
+            d AS (SELECT doc_id,
+                         [h0, sha256(h0), sha256(sha256(h0)),
+                          sha256(sha256(sha256(h0)))] AS hs
+                  FROM c),
+            w AS (SELECT doc_id, idx, hs[1 + (idx // 8)] AS h, (idx % 8) AS j
+                  FROM d, LATERAL (SELECT unnest(generate_series(0, 31)) AS idx) g),
+            v AS (SELECT doc_id, idx,
+                         CAST(FLOOR(((('0x' || substr(h, 8*j + 7, 2)
+                                            || substr(h, 8*j + 5, 2)
+                                            || substr(h, 8*j + 3, 2)
+                                            || substr(h, 8*j + 1, 2))::BIGINT)
+                                     / 2147483648.0 - 1.0) * 1000 + 0.5) AS BIGINT) AS v
+                  FROM w)
             SELECT doc_id AS media_id,
                    CAST(32 AS INTEGER) AS feature_dim,
-                   CAST(FLOOR(((('0x' || substr(h, 7, 2) || substr(h, 5, 2)
-                                      || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT)
-                               / 2147483648.0 - 1.0) * 1000 + 0.5) AS BIGINT) AS f0_milli
-            FROM (SELECT doc_id, sha256(text) AS h FROM documents) x
+                   CAST(MAX(CASE WHEN idx = 0 THEN v END) AS BIGINT) AS f0_milli,
+                   CAST(SUM(v) AS BIGINT) AS feat_milli_sum,
+                   CAST(bit_xor(v) AS BIGINT) AS feat_milli_xor
+            FROM v GROUP BY doc_id
         """,
         "transcript_seen_text": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),

@@ -51,21 +51,25 @@ def synth_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for decode+feature-extract: expand the
-    payload digest into ``dim`` doubles in [-1, 1).
+    """Deterministic stand-in for decode+feature-extract: expand a
+    sha256 digest chain of the payload into ``dim`` doubles in [-1, 1).
 
-    Oracle-mirrorable by construction: feature[0] is derived from a
-    SINGLE sha256(payload) digest — its first little-endian uint32 over
-    2^31, minus 1 — every step exact in float64, so DuckDB's
-    ``sha256()`` + hex arithmetic reproduces it bit-for-bit (the
-    contract query's ``f0_milli`` check). Later elements iterate the
-    digest chain."""
+    Oracle-mirrorable IN FULL by construction (VERDICT r3 #3): digest 0
+    is sha256(payload); each later digest is sha256 of the PREVIOUS
+    digest's lowercase ASCII hexdigest (not its raw bytes — DuckDB 1.0's
+    ``sha256()`` is VARCHAR-only, so the chain must stay in hex space
+    for the oracle to walk it: ``sha256(sha256(text))`` etc.). Each
+    digest contributes 8 little-endian uint32 words; feature = word /
+    2^31 - 1, every step exact in float64, so the contract query's
+    milli-quantized sum/xor over ALL ``dim`` elements matches DuckDB
+    bit-for-bit."""
     out = np.empty(dim, dtype=np.float64)
-    h = payload or b""
+    data = payload or b""
     i = 0
     while i < dim:
-        h = hashlib.sha256(h).digest()
-        chunk = np.frombuffer(h, dtype="<u4")[: dim - i]
+        hexd = hashlib.sha256(data).hexdigest()
+        data = hexd.encode("ascii")
+        chunk = np.frombuffer(bytes.fromhex(hexd), dtype="<u4")[: dim - i]
         # u32 / 2^31 and the subtraction are exact in float64
         out[i : i + chunk.size] = chunk.astype(np.float64) / 2**31 - 1.0
         i += chunk.size
