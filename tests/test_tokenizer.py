@@ -1,0 +1,168 @@
+"""Real-BPE tokenizer tests (operators/tokenizer.py).
+
+Reference analog: fixed-vocabulary unit extraction —
+/root/reference/src/SkmerSplitter.cpp:81-84 enumerates fixed-size units
+from a stream; BPE enumerates learned variable-size units from words.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bloomfilter_multithread_spark.operators.tokenizer import (
+    PINNED_BASE,
+    PINNED_MERGES,
+    doc_token_stats,
+    duckdb_bpe_words_sql,
+    encode_word,
+    train_bpe,
+    train_bpe_from_counts,
+    vocab_list,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _encode_simultaneous(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Textbook formulation: per step, find the lowest-rank pair present
+    and merge ALL its occurrences left-to-right."""
+    s = list(word)
+    ranks = {p: i for i, p in enumerate(merges)}
+    while len(s) > 1:
+        present = {(s[i], s[i + 1]) for i in range(len(s) - 1)}
+        cands = [p for p in present if p in ranks]
+        if not cands:
+            break
+        best = min(cands, key=lambda p: ranks[p])
+        out: list[str] = []
+        i = 0
+        while i < len(s):
+            if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                out.append(s[i] + s[i + 1])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+class TestTraining:
+    def test_tiny_fixture_learns_expected_merges(self):
+        base, merges = train_bpe_from_counts(
+            {"low": 5, "lower": 2, "newest": 6, "widest": 3}, n_merges=4,
+            min_count=2)
+        assert base == sorted(set("lowerniwdst"))
+        # highest-count pair first: 'es' 9, then 'est' 9, 'lo' 7, 'low' 7
+        assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+    def test_tie_break_is_lexicographic(self):
+        _, merges = train_bpe_from_counts({"ab": 3, "cd": 3}, n_merges=1)
+        assert merges == [("a", "b")]
+
+    def test_min_count_stops_training(self):
+        _, merges = train_bpe_from_counts({"ab": 1}, n_merges=5, min_count=2)
+        assert merges == []
+
+    def test_distributed_training_matches_pinned_table(self, spark):
+        """The pinned constants are exactly what train_bpe produces on
+        the sf0.01 fixture — regeneration is deterministic."""
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        base, merges = train_bpe(docs, "text", n_merges=40, min_count=10)
+        assert base == PINNED_BASE
+        assert merges == PINNED_MERGES
+
+
+class TestEncoding:
+    @given(st.text(alphabet="abcde", min_size=0, max_size=24))
+    @settings(max_examples=300, deadline=None)
+    def test_leftmost_single_merge_equals_simultaneous(self, word):
+        merges = [("a", "a"), ("b", "c"), ("aa", "b"), ("d", "e"),
+                  ("aab", "de"), ("c", "a")]
+        ranks = {p: i + 1 for i, p in enumerate(merges)}
+        assert encode_word(word, ranks) == _encode_simultaneous(word, merges)
+
+    @given(st.text(alphabet="abcde", min_size=1, max_size=24))
+    @settings(max_examples=300, deadline=None)
+    def test_concat_roundtrip(self, word):
+        ranks = {p: i + 1 for i, p in enumerate([("a", "b"), ("ab", "c")])}
+        assert "".join(encode_word(word, ranks)) == word
+
+    def test_every_corpus_word_matches_duckdb_recursive_cte(self, spark):
+        """Word-level cross-engine parity on the REAL corpus vocabulary:
+        Python encode and the DuckDB recursive CTE agree on token count
+        and id sum for every distinct word."""
+        ranks = {p: i + 1 for i, p in enumerate(PINNED_MERGES)}
+        ids = {s: i + 1 for i, s in enumerate(vocab_list(PINNED_BASE, PINNED_MERGES))}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        words_cte = """
+            SELECT DISTINCT w FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents) u WHERE w <> ''
+        """
+        sql = duckdb_bpe_words_sql(PINNED_BASE, PINNED_MERGES, words_cte)
+        got = {
+            w: (n, s)
+            for w, n, s in con.execute(
+                sql + " SELECT w, n_tokens, token_id_sum FROM bpe_tokens"
+            ).fetchall()
+        }
+        assert len(got) > 10
+        for w, (n, s) in got.items():
+            toks = encode_word(w, ranks)
+            tok_ids = [ids.get(t, 0) for t in toks]
+            assert (len(toks), sum(tok_ids)) == (n, s), w
+
+    def test_unknown_chars_get_id_zero(self, spark):
+        df = spark.createDataFrame([(1, "zzz abc")], "doc_id long, text string")
+        # 'z' not in PINNED_BASE: zzz -> 3 unknown tokens, ids 0
+        row = doc_token_stats(df, PINNED_BASE, PINNED_MERGES).first()
+        assert row["n_pretokens"] == 2
+        assert row["n_tokens_bpe"] >= 4  # zzz>=3 (no z merges) + abc>=1
+
+
+class TestDocStats:
+    @pytest.fixture(scope="class")
+    def stats(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = doc_token_stats(docs, PINNED_BASE, PINNED_MERGES)
+        by_id = {r["doc_id"]: r for r in out.collect()}
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        return by_id, texts
+
+    def test_bpe_counts_bounded_by_pretokens_and_chars(self, stats):
+        """A word is >= 1 token and <= len(word) tokens, so per doc:
+        n_pretokens <= n_tokens_bpe <= non-whitespace chars."""
+        by_id, texts = stats
+        assert len(by_id) == 500
+        for did, r in by_id.items():
+            n_chars = sum(len(w) for w in texts[did].split())
+            assert r["n_pretokens"] <= r["n_tokens_bpe"] <= n_chars
+
+    def test_merges_actually_fire(self, stats):
+        """The pinned table must compress: strictly fewer tokens than
+        characters overall (else the 'tokenizer' is the char splitter)."""
+        by_id, texts = stats
+        total_bpe = sum(r["n_tokens_bpe"] for r in by_id.values())
+        total_chars = sum(sum(len(w) for w in t.split()) for t in texts.values())
+        total_words = sum(r["n_pretokens"] for r in by_id.values())
+        assert total_bpe < 0.6 * total_chars
+        assert total_bpe > total_words  # not fully memorized either
+
+    def test_python_work_is_per_distinct_word(self, spark):
+        """The encode UDF input is the DISTINCT word set — the plan
+        aggregates before the mapInPandas stage."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = doc_token_stats(docs, PINNED_BASE, PINNED_MERGES)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        i_map = plan.find("MapInPandas")
+        assert i_map != -1
+        # a HashAggregate (the distinct) sits below the python stage
+        assert "HashAggregate" in plan[i_map:]
