@@ -1603,6 +1603,60 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction gate (VERDICT r3 #5): fragment documents
+    into 64 tiny parquet files (the shape every incremental writer
+    produces — streaming epochs, checkpoint state, per-worker sinks,
+    reference K1 SkmerSplitter.cpp:15-59), then compact_files rewrites
+    them to target-sized files via repartitionByRange on doc_id
+    (clustering-preserving). Value columns (rows, sum_n_chars,
+    content_xor) are computed FROM THE COMPACTED OUTPUT and mirrored by
+    the oracle from the source table — content survives byte-for-byte;
+    the layout facts (fewer files, hit the computed target count,
+    disjoint per-file key ranges) are in-query witnesses, TRUE in the
+    oracle (the tdigest_within_bound idiom)."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.dedup import md5_hash_col
+    from bloomfilter_multithread_spark.operators.layout import compact_files
+
+    docs = _read(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as td:
+        src, dst = f"{td}/fragmented", f"{td}/compacted"
+        docs.repartition(64).write.parquet(src)
+        stats = compact_files(spark, src, dst, target_file_bytes=96 << 10,
+                              sort_key="doc_id")
+        after = spark.read.parquet(dst)
+        agg = after.agg(
+            F.count("*").cast("long").alias("rows"),
+            F.sum("n_chars").cast("long").alias("sum_n_chars"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat(cast(doc_id AS string), ':',"
+                " text)), 1, 8), 16, 10) AS bigint))"
+            ).cast("long").alias("content_xor"),
+        ).first()
+        # clustering preserved: per-file doc_id ranges must be disjoint
+        ranges = sorted(
+            (r["lo"], r["hi"])
+            for r in after.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .collect()
+        )
+        disjoint = all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    row = (
+        int(agg["rows"]), int(agg["sum_n_chars"]), int(agg["content_xor"]),
+        bool(stats["n_files_before"] == 64),
+        bool(stats["n_files_after"] < stats["n_files_before"]),
+        bool(stats["n_files_after"] == stats["n_files_target"]),
+        bool(disjoint),
+    )
+    return spark.createDataFrame(
+        [row],
+        "rows long, sum_n_chars long, content_xor long, fragmented_as_built boolean, "
+        "files_reduced boolean, hit_target_count boolean, key_ranges_disjoint boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # transcript-domain queries (north_star input shape, derived
 # deterministically from events so the DuckDB oracle sees the same rows)
@@ -2603,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
+        "compact_files": _q_compact_files,
         "transcript_seen_text": _q_transcript_seen_text,
         "cbf_retract_seen": _q_cbf_retract_seen,
         "conv_reconstruct": _q_conv_reconstruct,
@@ -2912,6 +2967,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS feat_milli_sum,
                    CAST(bit_xor(v) AS BIGINT) AS feat_milli_xor
             FROM v GROUP BY doc_id
+        """,
+        # content columns mirrored from the SOURCE table (compaction must
+        # be byte-preserving); layout facts are in-query witnesses
+        "compact_files": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+                   CAST(bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                    || ':' || text), 1, 8))::BIGINT)
+                        AS BIGINT) AS content_xor,
+                   TRUE AS fragmented_as_built,
+                   TRUE AS files_reduced,
+                   TRUE AS hit_target_count,
+                   TRUE AS key_ranges_disjoint
+            FROM documents
         """,
         "transcript_seen_text": f"""
             WITH transcripts AS ({_TRANSCRIPTS_SQL}),

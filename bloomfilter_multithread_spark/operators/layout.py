@@ -91,3 +91,65 @@ def morton_decode(z: int, k: int, bits: int) -> list[int]:
         for j in range(k):
             vals[j] |= ((z >> (i * k + j)) & 1) << i
     return vals
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction — output-layout maintenance
+# ---------------------------------------------------------------------------
+
+def dir_parquet_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet directory — driver-side
+    filesystem metadata only, no Spark job."""
+    import os
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    return len(files), sum(os.path.getsize(f) for f in files)
+
+
+def compact_files(spark, src_dir: str, dst_dir: str,
+                  target_file_bytes: int = 128 << 20,
+                  sort_key: str | None = None) -> dict:
+    """Rewrite a directory of small parquet files to ~``target_file_bytes``
+    files — the other 100-TB layout chore next to z-ordering: every
+    incremental writer (streaming epochs, checkpoint state, per-task
+    sinks) fragments storage, and scan cost grows with file COUNT
+    (footer reads, task scheduling), not just bytes. Reference analog:
+    the per-worker text sink K1 (/root/reference/src/SkmerSplitter.cpp:
+    15-59) writes one file per worker — exactly the small-files problem
+    at q workers.
+
+    The output file count is sized from the SOURCE's on-disk bytes
+    (driver-side metadata, no extra pass — the same sizing
+    ``spark.sql.files.maxPartitionBytes`` uses for scan splits).
+    With ``sort_key`` the rewrite goes through ``repartitionByRange`` +
+    ``sortWithinPartitions`` on that key, PRESERVING an existing
+    clustering/z-order (disjoint per-file key ranges, so min-max file
+    skipping keeps working); without it, ``coalesce`` concatenates
+    partitions with NO shuffle at all.
+
+    Returns driver-side stats:
+    ``{n_files_before, n_files_after, n_files_target, bytes_before,
+    bytes_after, rows}``."""
+    import math
+
+    n_before, bytes_before = dir_parquet_stats(src_dir)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_key is not None:
+        out = df.repartitionByRange(n_out, sort_key).sortWithinPartitions(sort_key)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(dst_dir)
+    n_after, bytes_after = dir_parquet_stats(dst_dir)
+    rows = spark.read.parquet(dst_dir).count()
+    return {
+        "n_files_before": n_before,
+        "n_files_after": n_after,
+        "n_files_target": n_out,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+        "rows": rows,
+    }

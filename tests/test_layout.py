@@ -121,3 +121,83 @@ def test_spark_key_matches_python_reference_spot(spark):
     df = spark.createDataFrame([(5, 1023), (0, 0), (777, 312)], "a long, b long")
     got = [r["z"] for r in df.select(zorder_key(["a", "b"], 10).alias("z")).collect()]
     assert got == [morton_encode([a, b], 10) for a, b in [(5, 1023), (0, 0), (777, 312)]]
+
+
+class TestCompactFiles:
+    """Small-file compaction (VERDICT r3 #5) — the engine's own
+    checkpoint/epoch writers fragment storage; compact_files rewrites to
+    target-size files, optionally preserving an existing clustering."""
+
+    def _fragment(self, spark, tmp_path, n_files=32, n=5000):
+        src = str(tmp_path / "frag")
+        (spark.range(n)
+         .selectExpr("id", "id % 100 AS a", "CAST(md5(CAST(id AS STRING)) AS STRING) AS payload")
+         .repartition(n_files)
+         .write.parquet(src))
+        return src
+
+    def test_compacts_to_target_and_preserves_content(self, spark, tmp_path):
+        from bloomfilter_multithread_spark.operators.layout import (
+            compact_files,
+            dir_parquet_stats,
+        )
+
+        src = self._fragment(spark, tmp_path)
+        n_before, bytes_before = dir_parquet_stats(src)
+        assert n_before == 32
+        dst = str(tmp_path / "out")
+        stats = compact_files(spark, src, dst,
+                              target_file_bytes=max(bytes_before // 4, 1),
+                              sort_key="id")
+        assert stats["n_files_after"] == stats["n_files_target"] <= 5
+        assert stats["n_files_after"] < stats["n_files_before"]
+        assert stats["rows"] == 5000
+        before = {tuple(r) for r in spark.read.parquet(src).collect()}
+        after = {tuple(r) for r in spark.read.parquet(dst).collect()}
+        assert before == after
+
+    def test_coalesce_path_has_no_shuffle(self, spark, tmp_path):
+        from bloomfilter_multithread_spark.operators.layout import compact_files
+
+        src = self._fragment(spark, tmp_path)
+        dst = str(tmp_path / "out")
+        df = spark.read.parquet(src).coalesce(3)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure partition concatenation
+        compact_files(spark, src, dst, target_file_bytes=1 << 40)  # -> 1 file
+        files = [f for f in __import__("os").listdir(dst) if f.endswith(".parquet")]
+        assert len(files) == 1
+
+    def test_preserves_zorder_clustering(self, spark, tmp_path):
+        """Compacting a z-ordered table through sort_key='_z'... the
+        contract: per-file key ranges stay DISJOINT after the rewrite,
+        so min-max file skipping still prunes."""
+        from bloomfilter_multithread_spark.operators.layout import (
+            compact_files,
+            write_zordered,
+            zorder_key,
+        )
+
+        df = (spark.range(20_000)
+              .selectExpr("id % 128 AS a", "CAST(id / 128 AS LONG) AS b"))
+        zsrc = str(tmp_path / "z")
+        # keep the z key as a stored column so compaction can range-sort it
+        (df.withColumn("zval", zorder_key(["a", "b"], 7))
+         .repartitionByRange(16, "zval").sortWithinPartitions("zval")
+         .write.parquet(zsrc))
+        dst = str(tmp_path / "zc")
+        _, total = __import__(
+            "bloomfilter_multithread_spark.operators.layout",
+            fromlist=["dir_parquet_stats"]).dir_parquet_stats(zsrc)
+        stats = compact_files(spark, zsrc, dst,
+                              target_file_bytes=max(total // 4, 1),
+                              sort_key="zval")
+        assert stats["n_files_after"] < 16
+        ranges = sorted(
+            (r["lo"], r["hi"])
+            for r in spark.read.parquet(dst)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+            .collect()
+        )
+        assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
