@@ -971,6 +971,27 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ["spark", "vector", "dup", "stream"]
 
+# retrieval query set for tfidf_topk: fixed literal term bags over the
+# corpus vocabulary (shared by the Spark operator and the SQL mirror)
+_TFIDF_QUERIES = {
+    "q_join": ["join", "hash", "merge"],
+    "q_scan": ["scan", "filter", "column"],
+    "q_cust": ["customer", "row", "batch", "small"],
+}
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval top-10 per query — inverted-index shape
+    (VERDICT r3 #7): postings pruned to query terms before the shuffle,
+    ALL joins co-keyed on term (shuffle_hash hints — nothing
+    vocabulary-sized is broadcast), per-(query,doc) integer-micro score
+    sums, window rank filter per query (no global sort). Plan shape
+    pinned by tests/test_bm25.py::TestTfidfTopk."""
+    from bloomfilter_multithread_spark.operators.textstats import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk(docs, _TFIDF_QUERIES, k=10)
+
 
 def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a fixed query-term list —
@@ -2646,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_doc_counts": _q_cube_doc_counts,
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
+        "tfidf_topk": _q_tfidf_topk,
         "chunk_sliding": _q_chunk_sliding,
         "pack_sequences": _q_pack_sequences,
         "fingerprint": _q_fingerprint,
@@ -2751,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         duckdb_lang_id,
         duckdb_quality_bp,
         duckdb_repetition_sql,
+        duckdb_tfidf_topk_sql,
         duckdb_unigram_nll_sql,
     )
 
@@ -2924,6 +2947,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1
         """,
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
+        "tfidf_topk": duckdb_tfidf_topk_sql("documents", _TFIDF_QUERIES, 10),
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
         "skew_profile": duckdb_skew_sql("events", "user_id", top_k=20, n_buckets=32),
         "zorder_values": _zorder_oracle_sql(),

@@ -14,7 +14,7 @@ a handful of codegen'd string ops.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.shingles import shingles, tokens
@@ -383,4 +383,113 @@ def duckdb_unigram_nll_sql(table: str, id_col: str = "doc_id",
                CAST(SUM(c_micro) AS BIGINT) AS nll_micro,
                CAST(SUM(c_micro) // SUM(tf) AS BIGINT) AS avg_nll_micro
         FROM per_tok GROUP BY _id
+    """
+
+
+# ---------------------------------------------------------------- tf-idf retrieval
+
+def tfidf_topk(df: DataFrame, queries: dict[str, list[str]], k: int = 10,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """TF-IDF retrieval top-k over a QUERY SET — the inverted-index
+    shape (VERDICT r3 #7), scoring w = (1 + ln(tf)) * ln(N/df) with the
+    bm25 micro-rounding idiom (each (query, doc, term) contribution is
+    floored to integer micro units BEFORE the sum, so scores are
+    order-free integer sums and hash-exact cross-engine).
+
+    100-TB shape — co-keyed joins ONLY, nothing vocabulary-sized is
+    broadcast:
+    - postings (term → doc, tf) are built once, pruned to the union of
+      query terms BEFORE the (doc, term) shuffle;
+    - query terms join the postings co-keyed ON TERM — the inverted
+      index is term-partitioned storage, and the tiny query-term relation
+      shuffles TO the postings' partitioning (autoBroadcast is disabled
+      inside the plan's joins by the shuffle_hash hint, keeping the plan
+      honest at any postings size);
+    - per-(query, doc) scores aggregate on their own key;
+    - top-k per query is a window rank filter: per-partition sort only —
+      no global range exchange, no driver heap.
+
+    Returns (query_id, doc_id, score_micro, n_matched_terms, rank) with
+    rank <= k, tie-broken (score desc, doc_id asc)."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    qrows = [(q, t) for q, ts in sorted(queries.items()) for t in sorted(set(ts))]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qrows, "query_id string, tok string")
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    n_docs = df.select(id_col).distinct().count()
+    postings = (
+        toks.where(F.col("tok").isin(all_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    # co-keyed on term end-to-end: postings ⋈ df ⋈ query terms
+    idx = postings.join(dfreq.hint("shuffle_hash"), "tok").join(
+        qdf.hint("shuffle_hash"), "tok"
+    )
+    contrib = (
+        (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+    )
+    per_term = idx.select(
+        "query_id", F.col(id_col),
+        F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long").alias("c_micro"),
+    )
+    scores = per_term.groupBy("query_id", id_col).agg(
+        F.sum("c_micro").cast("long").alias("score_micro"),
+        F.count("*").cast("long").alias("n_matched_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def duckdb_tfidf_topk_sql(table: str, queries: dict[str, list[str]], k: int = 10,
+                          id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Exact SQL mirror of :func:`tfidf_topk` (same postings, same double
+    arithmetic, same per-contribution micro floor, same tie-break)."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    termlist = ", ".join("'" + t.replace("'", "''") + "'" for t in all_terms)
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(queries.items()) for t in sorted(set(ts))
+    )
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS _id,
+                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+            FROM {table}
+        ),
+        postings AS (SELECT _id, tok, COUNT(*) AS tf FROM toks
+                     WHERE tok IN ({termlist}) GROUP BY _id, tok),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY tok),
+        q(query_id, tok) AS (SELECT * FROM (VALUES {qvals}) v),
+        n AS (SELECT COUNT(DISTINCT {id_col}) AS n_docs FROM {table}),
+        contrib AS (
+            SELECT q.query_id, p._id,
+                   FLOOR((1.0 + ln(CAST(p.tf AS DOUBLE)))
+                         * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                         * 1e6 + 0.5) AS c_micro
+            FROM postings p JOIN dfreq USING (tok) JOIN q USING (tok)
+            CROSS JOIN n
+        ),
+        scores AS (
+            SELECT query_id, _id,
+                   CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+            FROM contrib GROUP BY query_id, _id
+        )
+        SELECT query_id, CAST(_id AS BIGINT) AS {id_col}, score_micro,
+               n_matched_terms, CAST(rnk AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, _id) AS rnk
+              FROM scores) t
+        WHERE rnk <= {k}
     """

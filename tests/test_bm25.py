@@ -71,3 +71,88 @@ def test_contributions_far_from_rounding_boundaries(sf):
     margin, n = con.sql(q).fetchone()
     assert n > 100  # fixture sanity: plenty of contributions checked
     assert margin >= 1e-6, f"contribution within {margin} of a floor boundary"
+
+
+class TestTfidfTopk:
+    QUERIES = {"qa": ["join", "hash"], "qb": ["customer", "scan", "filter"]}
+
+    def test_hand_computed_tiny_corpus(self, spark):
+        """3 docs, hand-derived tf-idf: w = (1+ln(tf)) * ln(N/df)."""
+        import math
+
+        from bloomfilter_multithread_spark.operators.textstats import tfidf_topk
+
+        df = spark.createDataFrame(
+            [(1, "join join hash"), (2, "join scan"), (3, "scan scan")],
+            "doc_id long, text string")
+        out = {(r["query_id"], r["doc_id"]): (r["score_micro"], r["rank"])
+               for r in tfidf_topk(df, {"q": ["join", "hash"]}, k=10).collect()}
+        w_join_d1 = math.floor((1 + math.log(2)) * math.log(3 / 2) * 1e6 + 0.5)
+        w_hash_d1 = math.floor((1 + math.log(1)) * math.log(3 / 1) * 1e6 + 0.5)
+        w_join_d2 = math.floor((1 + math.log(1)) * math.log(3 / 2) * 1e6 + 0.5)
+        assert out[("q", 1)] == (w_join_d1 + w_hash_d1, 1)
+        assert out[("q", 2)] == (w_join_d2, 2)
+        assert ("q", 3) not in out  # no query term
+
+    def test_matches_duckdb_mirror(self, spark):
+        import duckdb
+
+        from bloomfilter_multithread_spark.operators.textstats import (
+            duckdb_tfidf_topk_sql,
+            tfidf_topk,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {tuple(r) for r in
+               tfidf_topk(docs, self.QUERIES, k=5)
+               .select("query_id", "doc_id", "score_micro", "n_matched_terms",
+                       "rank").collect()}
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+        want = set(map(tuple, con.execute(
+            duckdb_tfidf_topk_sql("documents", self.QUERIES, 5)).fetchall()))
+        assert got == want and len(got) == 10  # 5 per query
+
+    def test_plan_no_broadcast_no_global_sort(self, spark):
+        """The VERDICT r3 #7 plan gate: postings are never broadcast
+        (co-keyed shuffle joins only) and the per-query top-k does not
+        globally sort (no range exchange, no driver-side heap)."""
+        from bloomfilter_multithread_spark.operators.textstats import tfidf_topk
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (tfidf_topk(docs, self.QUERIES, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastExchange" not in plan
+        assert "rangepartitioning" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_contributions_far_from_rounding_boundaries(self):
+        """Freeze the ln()-ulp guarantee for the tf-idf form the same way
+        the bm25 test does."""
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.01/documents.parquet'")
+        terms = sorted({t for ts in self.QUERIES.values() for t in ts})
+        q = f"""
+            WITH toks AS (
+                SELECT doc_id AS _id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents),
+            p AS (SELECT _id, tok, COUNT(*) AS tf FROM toks
+                  WHERE tok IN ({', '.join("'" + t + "'" for t in terms)})
+                  GROUP BY _id, tok),
+            dfreq AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            c AS (SELECT (1.0 + ln(CAST(p.tf AS DOUBLE)))
+                         * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                         * 1e6 + 0.5 AS x
+                  FROM p JOIN dfreq USING (tok) CROSS JOIN n)
+            SELECT MIN(LEAST(x - FLOOR(x), CEIL(x) - x)) AS margin, COUNT(*) AS n
+            FROM c
+        """
+        margin, n = con.sql(q).fetchone()
+        assert n > 100
+        assert margin >= 1e-6, f"contribution within {margin} of a floor boundary"
