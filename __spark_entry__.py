@@ -1624,6 +1624,30 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode gate (round 4 — upgrades the codec tier
+    from 'stubbed' to 'real for trivial formats'): build genuine
+    uncompressed 24-bit BMP and PCM-16 RIFF/WAVE payloads
+    deterministically from doc_id (`synth_real_media`), parse them back
+    with the pure-numpy decoders (`decode_bmp` handles the data-offset,
+    4-byte row padding, bottom-up row order and BGR byte order;
+    `decode_wav` walks the chunk list), and emit integer stats over the
+    DECODED values. The oracle recomputes every pixel/sample from the
+    closed-form generating formula without ever seeing a container
+    byte, so any parsing mistake (stride, flip, channel order,
+    truncation) is a value mismatch, not just a row-count one."""
+    from bloomfilter_multithread_spark.operators.multimodal import (
+        decode_stats,
+        synth_real_media,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synth_real_media(docs, "media_id")
+    return decode_stats(media)
+
+
 def _q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction gate (VERDICT r3 #5): fragment documents
     into 64 tiny parquet files (the shape every incremental writer
@@ -2613,25 +2637,77 @@ def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Contract queries. ORDERING CONTRACT (VERDICT r3 task 1): the
+    driver's CORRECTNESS artifact records only the FIRST 50 dict
+    entries, so positions 1-50 are reserved for (a) queries never
+    driver-verified in rounds 1-3 plus this round's new queries, then
+    (b) queries last verified in rounds 1-2, then (c) a rotation of
+    round-3-verified queries. Everything from position 51 on is
+    round-3-driver-verified and fully covered by the local mirror
+    (tests/test_entry_contract.py) every run."""
     return {
+        "topk_orders": _q_topk_orders,
+        "bm25_scores": _q_bm25_scores,
+        "tfidf_topk": _q_tfidf_topk,
+        "chunk_sliding": _q_chunk_sliding,
+        "pack_sequences": _q_pack_sequences,
+        "hash_sample": _q_hash_sample,
+        "priority_sample": _q_priority_sample,
+        "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
+        "consistent_sample_join": _q_consistent_sample_join,
+        "group_sample": _q_group_sample,
+        "cbf_retract_seen": _q_cbf_retract_seen,
+        "conv_reconstruct": _q_conv_reconstruct,
+        "tool_transitions": _q_tool_transitions,
+        "pagerank_tools": _q_pagerank_tools,
+        "rank_convs_per_tool": _q_rank_convs_per_tool,
+        "sql_pricing_summary": _q_sql_pricing_summary,
+        "sql_udf_seen": _q_sql_udf_seen,
+        "sql_udtf_shingles": _q_sql_udtf_shingles,
+        "set_ops_rows": _q_set_ops_rows,
+        "stream_join_errors": _q_stream_join_errors,
+        "stream_dedup_turns": _q_stream_dedup_turns,
+        "stream_static_join": _q_stream_static_join,
+        "token_count_real": _q_token_count_real,
+        "compact_files": _q_compact_files,
+        "fingerprint": _q_fingerprint,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_decode": _q_multimodal_decode,
+        "transcript_seen_text": _q_transcript_seen_text,
+        "transcript_hll_convs": _q_transcript_hll_convs,
+        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
+        "minimizer_windows": _q_minimizer_windows,
+        "supershingle_segments": _q_supershingle_segments,
+        "sessionize_tool_runs": _q_sessionize_tool_runs,
+        "bloom_salted_skew": _q_bloom_salted_skew,
+        "streaming_seen_text": _q_streaming_seen_text,
+        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
+        "bloom_fpr": _q_bloom_fpr,
         "bloom_semijoin": _q_bloom_semijoin,
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_users": _q_cms_heavy_users,
+        "kll_quantiles": _q_kll_quantiles,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "kmv_setops": _q_kmv_setops,
+        "minhash_neardup": _q_minhash_neardup,
+        "incremental_neardup": _q_incremental_neardup,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "dedup_exact": _q_dedup_exact,
+        "asof_join_events": _q_asof_join_events,
         "bucketed_join": _q_bucketed_join,
         "role_tool_pivot": _q_role_tool_pivot,
         "native_hll_interop": _q_native_hll_interop,
         "data_quality": _q_data_quality,
         "bloom_zero_fn": _q_bloom_zero_fn,
-        "hll_distinct": _q_hll_distinct,
         "hll_setops": _q_hll_setops,
-        "cms_heavy_users": _q_cms_heavy_users,
         "mg_heavy_hitters": _q_mg_heavy_hitters,
         "cms_join_size": _q_cms_join_size,
         "ams_join_size": _q_ams_join_size,
         "bloom_setops": _q_bloom_setops,
-        "kmv_setops": _q_kmv_setops,
-        "kll_quantiles": _q_kll_quantiles,
         "native_quantile_interop": _q_native_quantile_interop,
-        "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_distinct": _q_grouped_distinct,
         "windowed_distinct": _q_windowed_distinct,
@@ -2639,20 +2715,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "json_props_stats": _q_json_props_stats,
         "observed_metrics": _q_observed_metrics,
-        "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
-        "token_count_real": _q_token_count_real,
         "shingle_stats": _q_shingle_stats,
         "rolled_kmer_seen": _q_rolled_kmer_seen,
-        "minhash_neardup": _q_minhash_neardup,
-        "incremental_neardup": _q_incremental_neardup,
         "neardup_clusters": _q_neardup_clusters,
-        "asof_join_events": _q_asof_join_events,
         "band_join_events": _q_band_join_events,
         "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
-        "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "jl_distortion": _q_jl_distortion,
         "lang_quality": _q_lang_quality,
@@ -2665,43 +2735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "rollup_doc_counts": _q_rollup_doc_counts,
         "cube_doc_counts": _q_cube_doc_counts,
-        "topk_orders": _q_topk_orders,
-        "bm25_scores": _q_bm25_scores,
-        "tfidf_topk": _q_tfidf_topk,
-        "chunk_sliding": _q_chunk_sliding,
-        "pack_sequences": _q_pack_sequences,
-        "fingerprint": _q_fingerprint,
-        "hash_sample": _q_hash_sample,
-        "priority_sample": _q_priority_sample,
-        "stratified_sample": _q_stratified_sample,
-        "weighted_sample": _q_weighted_sample,
-        "consistent_sample_join": _q_consistent_sample_join,
-        "group_sample": _q_group_sample,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_features": _q_multimodal_features,
-        "compact_files": _q_compact_files,
-        "transcript_seen_text": _q_transcript_seen_text,
-        "cbf_retract_seen": _q_cbf_retract_seen,
-        "conv_reconstruct": _q_conv_reconstruct,
-        "tool_transitions": _q_tool_transitions,
-        "pagerank_tools": _q_pagerank_tools,
-        "rank_convs_per_tool": _q_rank_convs_per_tool,
-        "sql_pricing_summary": _q_sql_pricing_summary,
-        "sql_udf_seen": _q_sql_udf_seen,
-        "sql_udtf_shingles": _q_sql_udtf_shingles,
-        "set_ops_rows": _q_set_ops_rows,
-        "transcript_hll_convs": _q_transcript_hll_convs,
-        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
-        "minimizer_windows": _q_minimizer_windows,
-        "supershingle_segments": _q_supershingle_segments,
-        "sessionize_tool_runs": _q_sessionize_tool_runs,
-        "bloom_salted_skew": _q_bloom_salted_skew,
-        "streaming_seen_text": _q_streaming_seen_text,
-        "stream_join_errors": _q_stream_join_errors,
-        "stream_dedup_turns": _q_stream_dedup_turns,
-        "stream_static_join": _q_stream_static_join,
-        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
-        "bloom_fpr": _q_bloom_fpr,
     }
 
 
@@ -2991,6 +3024,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS feat_milli_sum,
                    CAST(bit_xor(v) AS BIGINT) AS feat_milli_xor
             FROM v GROUP BY doc_id
+        """,
+        # REAL-decode mirror: the Spark side parses actual BMP/WAV
+        # container bytes; the oracle recomputes the decoded values from
+        # the closed-form generating formula (synth_real_media's
+        # docstring) over generate_series — it never sees a container
+        # byte, so header/stride/byte-order parse errors become value
+        # mismatches
+        "multimodal_decode": """
+            WITH img AS (
+                SELECT doc_id AS media_id, 'image' AS kind,
+                       CAST(COUNT(*) AS BIGINT) AS units,
+                       CAST(SUM((doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256)
+                            AS BIGINT) AS val_sum,
+                       CAST(MIN((doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256)
+                            AS BIGINT) AS val_min,
+                       CAST(MAX((doc_id*7 + x.x*3 + y.y*5 + c.c*11) % 256)
+                            AS BIGINT) AS val_max
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 16)) AS x) x,
+                     (SELECT unnest(generate_series(0, 14)) AS y) y,
+                     (SELECT unnest(generate_series(0, 2)) AS c) c
+                WHERE doc_id % 3 = 0
+                  AND x.x < 4 + doc_id % 13 AND y.y < 4 + doc_id % 11
+                GROUP BY doc_id
+            ),
+            aud AS (
+                SELECT doc_id AS media_id, 'audio' AS kind,
+                       CAST(COUNT(*) AS BIGINT) AS units,
+                       CAST(SUM((doc_id*13 + i.i*7919) % 4096 - 2048)
+                            AS BIGINT) AS val_sum,
+                       CAST(MIN((doc_id*13 + i.i*7919) % 4096 - 2048)
+                            AS BIGINT) AS val_min,
+                       CAST(MAX((doc_id*13 + i.i*7919) % 4096 - 2048)
+                            AS BIGINT) AS val_max
+                FROM documents,
+                     (SELECT unnest(generate_series(0, 127)) AS i) i
+                WHERE doc_id % 3 = 1 AND i.i < 64 + doc_id % 64
+                GROUP BY doc_id
+            )
+            SELECT * FROM img UNION ALL SELECT * FROM aud
         """,
         # content columns mirrored from the SOURCE table (compaction must
         # be byte-preserving); layout facts are in-query witnesses
