@@ -12,8 +12,19 @@ probability of the tool-transition chain (which tool does an agent
 Scale shape (the 100 TB plan):
   - the EDGE table is the big thing (one window pass + one groupBy over
     all turns builds it); it is joined once per iteration.
-  - the RANK table is O(|nodes|) — per-tool, i.e. tiny — and is
-    BROADCAST to the edge join, so no iteration reshuffles edges.
+  - the RANK table is O(|nodes|). Two regimes, selected by
+    ``broadcast_ranks``:
+      * tool-graphs (nodes ≪ edges, the transcript consumer): ranks are
+        BROADCAST to the edge join, so no iteration shuffles anything
+        edge-sized;
+      * web-scale node sets (ranks don't fit one executor):
+        ``broadcast_ranks=False`` pins the edge table ONCE into a
+        hash-partitioning on ``src`` (persisted with that partitioning,
+        satisfying the join's distribution requirement every
+        iteration) and shuffle-joins the rank table to it — the
+        per-iteration exchange is O(|nodes|) rank rows; the edge table
+        is never reshuffled after the one-time pin. Both modes are
+        bit-identical (integer arithmetic; test-pinned).
   - per-iteration contribution sums are map-side combinable longs.
   - the loop is fully LAZY: the dangling-mass scalar rides along as a
     1-row broadcast cross join, so the only driver traffic for the
@@ -44,6 +55,7 @@ def pagerank_fixed_point(
     n_iters: int = 3,
     damping: tuple[int, int] = (85, 100),
     scale: int = PR_SCALE,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank on weighted edges (src, dst, w) in exact
     integer fixed-point.
@@ -77,8 +89,21 @@ def pagerank_fixed_point(
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    # static across iterations: carry each edge's out-weight once
-    e_n = e.join(outw, "src").persist()
+    # static across iterations: carry each edge's out-weight once. In
+    # join mode, ALSO pin the edge table into hash-partitioning on src
+    # with exactly spark.sql.shuffle.partitions partitions, so every
+    # iteration's rank join finds its distribution requirement already
+    # satisfied on the edge side — the one-time shuffle here is the
+    # last time edge bytes move
+    if broadcast_ranks:
+        e_n = e.join(outw, "src")
+    else:
+        # out-weights are O(|nodes|) too — at web scale they can't be
+        # broadcast any more than the ranks can; this one-time shuffle
+        # join is absorbed into the src pin below
+        n_shuffle = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        e_n = e.join(outw.hint("shuffle_hash"), "src").repartition(n_shuffle, "src")
+    e_n = e_n.persist()
     out_nodes = outw.select(F.col("src").alias("node"))
 
     teleport = ((den - num) * scale) // (den * n)
@@ -95,8 +120,16 @@ def pagerank_fixed_point(
             ranks.join(out_nodes, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
         )
+        rank_src = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_src)
+        else:
+            # shuffle_hash hint: never broadcast a web-scale rank table,
+            # and skip the sort a merge join would add — ranks hash to
+            # the edge table's pinned partitioning
+            rank_side = rank_src.hint("shuffle_hash")
         insum = (
-            e_n.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            e_n.join(rank_side, "src")
             .select(F.col("dst").alias("node"), F.expr("(r * w) div ow").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

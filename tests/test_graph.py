@@ -110,6 +110,41 @@ def test_rank_table_is_broadcast_joined(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_join_mode_bit_identical_to_broadcast_mode(spark):
+    """broadcast_ranks=False (web-scale node sets: ranks shuffle-join to
+    the src-pinned edge table instead of broadcasting) must be
+    BIT-identical — all arithmetic is integer, only the physical join
+    strategy changes."""
+    got_b = sorted(
+        (r["node"], r["rank_fp"])
+        for r in pagerank_fixed_point(_edges_df(spark), n_iters=3).collect()
+    )
+    got_j = sorted(
+        (r["node"], r["rank_fp"])
+        for r in pagerank_fixed_point(
+            _edges_df(spark), n_iters=3, broadcast_ranks=False
+        ).collect()
+    )
+    assert got_b == got_j
+
+
+def test_join_mode_rank_join_is_not_broadcast(spark):
+    """In join mode the per-iteration rank↔edge join must be a shuffled
+    hash join (a web-scale rank table cannot be broadcast), and the
+    persisted edge table is pinned to hashpartitioning(src) so its side
+    of the join needs no per-iteration exchange."""
+    plan = (
+        pagerank_fixed_point(_edges_df(spark), n_iters=1, broadcast_ranks=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    # the only BroadcastHashJoins allowed are the scalar dangling-mass
+    # cross join machinery, never a join keyed on src
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "src" not in line, line
+
+
 @pytest.mark.parametrize("n_iters", [1, 2])
 def test_iteration_count_respected_vs_numpy(spark, n_iters):
     got = {
