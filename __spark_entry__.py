@@ -1145,6 +1145,36 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall(approx, exact, k=10)
 
 
+def _q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k (round 4) — the canonical web-scale ANN
+    architecture: IVF cells PARTITION the space (probe reads
+    n_probe/n_cells of the data), product-quantization codes COMPRESS
+    what the probe scans (m small ints instead of 64 floats — the
+    serving index stores (id, cell, code) only). Candidate scoring is
+    integer ADC — per query a (m x ksub) lookup table, per candidate m
+    JVM element_at lookups, no Python on the candidate path — followed
+    by an exact-cosine rerank of the integer top-k' shortlist
+    (broadcast joins only; vectors never shuffle). Data-point codebooks
+    (quantized subvectors of vec_id < 16) keep the oracle a pure SQL
+    replay: quantization/codes/ADC are exact integer arithmetic, the
+    rerank is the same float pattern as the IVF mirror. recall_bp is
+    the in-query witness vs brute force (ADC shortlisting trades some
+    recall vs plain IVF's exact rerank of whole cells — reported, not
+    hidden)."""
+    from bloomfilter_multithread_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        with_recall,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 50 = 0")
+    approx = ivfpq_topk(emb, q, k=10, dim=64, m=4, ksub=16, n_cells=16,
+                        n_probe=4, qid_col="vec_id")
+    exact = brute_force_topk(emb, q, k=10, qid_col="vec_id")
+    return with_recall(approx, exact, k=10)
+
+
 def _q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss random projection (64 → 16 dims) with a
     per-pair distortion witness, in EXACT integer arithmetic end to end:
@@ -2695,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": _q_minhash_neardup,
         "incremental_neardup": _q_incremental_neardup,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_pq": _q_ann_topk_pq,
         "dedup_exact": _q_dedup_exact,
         "asof_join_events": _q_asof_join_events,
         "bucketed_join": _q_bucketed_join,
@@ -2788,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.operators.similarity import (
         duckdb_cosine_pairs_sql,
         duckdb_ivf_topk_sql,
+        duckdb_ivfpq_sql,
         duckdb_lsh_topk_sql,
         duckdb_recall_sql,
         duckdb_topk_sql,
@@ -2875,6 +2907,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": duckdb_recall_sql(
             duckdb_ivf_topk_sql(dim=64, n_cells=16, n_probe=4, seed=42,
                                 k=10, query_pred="vec_id % 50 = 0"),
+            k=10, query_pred="vec_id % 50 = 0",
+        ),
+        # full integer replay of the PQ stages (quantize / codebook
+        # slice / code argmin / ADC lookups / shortlist), then the same
+        # float exact-cosine rerank as the IVF mirror
+        "ann_topk_pq": duckdb_recall_sql(
+            duckdb_ivfpq_sql(dim=64, m=4, ksub=16, n_cells=16, n_probe=4,
+                             seed=42, k=10, query_pred="vec_id % 50 = 0"),
             k=10, query_pred="vec_id % 50 = 0",
         ),
         "jl_distortion": _jl_oracle_sql(),

@@ -689,3 +689,277 @@ def duckdb_rp_sql(signs: list[list[int]], quant: int = 16384,
                CAST((10000 * p.d2_proj) // ({k} * o.d2_orig) AS BIGINT) AS ratio_bp
         FROM pair_orig o JOIN pair_proj p USING (pair_id)
     """
+
+
+# ------------------------------------------------- IVF-PQ ANN (round 4)
+#
+# The canonical web-scale ANN architecture: IVF cells PARTITION the
+# vector space (a probe reads n_probe/n_cells of the data — the same
+# coarse quantizer as ivf_topk) and product-quantization codes COMPRESS
+# what the probe scans (m bytes per vector instead of dim floats —
+# 64x here). Candidate scoring is ADC (asymmetric distance computation):
+# per query, a (m x ksub) table of query-subvector . codeword dot
+# products is built once, and each candidate's score is m table lookups
+# — pure integer arithmetic end-to-end, so the DuckDB oracle replays it
+# hash-exactly (the jl_distortion quantization trick). An exact-cosine
+# rerank of the ADC top-k' recovers ranking fidelity, and with_recall
+# reports approximation quality against brute force inside the gate.
+
+PQ_QUANT = 16384  # 2^14 — floor(f64(v)*2^14) is exact for f32 inputs
+
+
+def pq_codebooks_int(vectors: DataFrame, m: int = 4, ksub: int = 16,
+                     quant: int = PQ_QUANT, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     codeword_pred: str = "vec_id < 16") -> np.ndarray:
+    """Data-point codebooks (m, ksub, dim/m) int64: codeword c of
+    subquantizer j is subvector j of the c-th row matching
+    ``codeword_pred`` (ordered by id). Using actual data points as
+    codewords is the k-means++-init-without-iterations baseline — fully
+    oracle-mirrorable because the codebook is a SQL-selectable slice of
+    the table itself; swap in Lloyd-refined centroids (train offline,
+    pass via ``codebooks=``) for production recall. The collect is
+    ksub rows — driver-side by design, like IVF's pivot literals."""
+    rows = (
+        vectors.where(codeword_pred).orderBy(id_col).select(vec_col).collect()
+    )
+    v = np.array([list(r[0]) for r in rows], dtype=np.float64)  # (ksub, dim)
+    if v.shape[0] != ksub:
+        raise ValueError(f"codeword_pred matched {v.shape[0]} rows, need {ksub}")
+    q = np.floor(v * quant).astype(np.int64)
+    d_sub = q.shape[1] // m
+    return np.stack([q[:, j * d_sub:(j + 1) * d_sub] for j in range(m)])
+
+
+def pq_encode_udf(codebooks: np.ndarray, quant: int = PQ_QUANT):
+    """array<int> PQ codes: per subvector j, the codeword index
+    minimizing the exact integer squared distance to the quantized
+    subvector (ties -> lowest index, matching the oracle's
+    ORDER BY d2, c). One Arrow batch = one (n, ksub, d_sub) broadcasted
+    subtract + argmin per subquantizer — no per-row Python."""
+    cb = np.asarray(codebooks, dtype=np.int64)  # (m, ksub, d_sub)
+    m, _, d_sub = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.floor(np.array(vecs.tolist(), dtype=np.float64) * quant).astype(np.int64)
+        codes = np.empty((len(q), m), dtype=np.int32)
+        for j in range(m):
+            sub = q[:, j * d_sub:(j + 1) * d_sub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)  # first minimum = lowest c
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_adc_table_udf(codebooks: np.ndarray, quant: int = PQ_QUANT):
+    """array<long> flattened (m*ksub) ADC table per query: entry
+    j*ksub + c = <quantized query subvector j, codeword (j, c)> — an
+    int64 matmul per subquantizer, exact and order-free."""
+    cb = np.asarray(codebooks, dtype=np.int64)
+    m, ksub, d_sub = cb.shape
+
+    @F.pandas_udf("array<long>")
+    def table(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.floor(np.array(vecs.tolist(), dtype=np.float64) * quant).astype(np.int64)
+        out = np.concatenate(
+            [q[:, j * d_sub:(j + 1) * d_sub] @ cb[j].T for j in range(m)], axis=1
+        )
+        return pd.Series(list(out))
+
+    return table
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+               kprime: int | None = None, dim: int = 64, m: int = 4,
+               ksub: int = 16, n_cells: int = 16, n_probe: int = 4,
+               seed: int = 42, quant: int = PQ_QUANT,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "query_id", qvec_col: str = "embedding",
+               pivots: list[list[float]] | None = None,
+               codebooks: np.ndarray | None = None,
+               codeword_pred: str = "vec_id < 16") -> DataFrame:
+    """IVF-PQ ANN top-k. Plan shape (the 100 TB story):
+
+    1. build side: one narrow pass assigns each vector a cell (IVF
+       top-1) and an m-byte PQ code — on disk the table is
+       partitioned BY CELL and stores only (id, code): 64-dim float
+       vectors become m small ints, a 64x scan-footprint cut;
+    2. probe: queries explode to their n_probe cells and carry a
+       flattened (m x ksub) integer ADC table; the candidate join is
+       the same co-partitionable EQUI-join on cell as ivf_topk;
+    3. candidate score = m integer array lookups (JVM element_at sums,
+       whole-stage codegen — candidates never touch Python);
+    4. the ADC top-k' shortlist (integer, tie-broken by id) is
+       broadcast back onto the vector table for an exact-cosine rerank
+       of Q*k' rows — full vectors are read again only for the
+       shortlist, and only via broadcast joins (no vector shuffle).
+    """
+    if kprime is None:
+        kprime = 5 * k
+    if pivots is None:
+        pivots = _ivf_pivots(dim, n_cells, seed)
+    if codebooks is None:
+        codebooks = pq_codebooks_int(vectors, m, ksub, quant, id_col, vec_col,
+                                     codeword_pred)
+    top1_udf = ivf_cells_udf(pivots, 1)
+    probe_udf = ivf_cells_udf(pivots, n_probe)
+    enc_udf = pq_encode_udf(codebooks, quant)
+    adc_udf = pq_adc_table_udf(codebooks, quant)
+
+    vb = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(top1_udf(F.col(vec_col)), 1).alias("cell"),
+        enc_udf(F.col(vec_col)).alias("codes"),
+    )
+    qb = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(probe_udf(F.col(qvec_col))).alias("cell"),
+        adc_udf(F.col(qvec_col)).alias("dt"),
+    )
+    adc = sum(
+        (F.element_at("dt", F.lit(1 + j * ksub) + F.element_at("codes", j + 1))
+         for j in range(int(np.asarray(codebooks).shape[0]))),
+        F.lit(0).cast("long"),
+    )
+    cands = (
+        F.broadcast(qb).join(vb, "cell")
+        .select("query_id", "vec_id", adc.alias("adc"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (
+        cands.withColumn("r", F.row_number().over(w1))
+        .where(F.col("r") <= kprime)
+        .select("query_id", "vec_id")
+    )
+    qv = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec"))
+    dv = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    rer = (
+        dv.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cosine_bp",
+            F.floor(cosine(F.col("qvec"), F.col("vec")) * 10000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_bp", F.col("rank").cast("int"))
+    )
+
+
+def duckdb_ivfpq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
+                     n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+                     k: int = 10, kprime: int | None = None,
+                     quant: int = PQ_QUANT, table: str = "embeddings",
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_pred: str = "vec_id % 50 = 0",
+                     codeword_pred: str = "vec_id < 16") -> str:
+    """SQL mirror of ``ivfpq_topk``: IVF pivots inlined as literals
+    (same argmax-margin argument as the IVF oracle); the PQ stages —
+    quantization, codebook slice, code argmin, ADC table, lookup sums,
+    integer shortlist — replayed in EXACT integer arithmetic, then the
+    same float exact-cosine rerank as the IVF mirror."""
+    if kprime is None:
+        kprime = 5 * k
+    d_sub = dim // m
+    pivots = _ivf_pivots(dim, n_cells, seed)
+    rows = ",\n               ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(pivots)
+    )
+    cos = _DDB_COS.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+        WITH pivots(cell, pv) AS (
+            VALUES {rows}
+        ),
+        cell_scored AS (
+            SELECT v.{id_col} AS vid, p.cell,
+                   list_dot_product(v.{vec_col}::DOUBLE[], p.pv)
+                   / sqrt(list_dot_product(v.{vec_col}::DOUBLE[], v.{vec_col}::DOUBLE[])) AS s
+            FROM {table} v CROSS JOIN pivots p
+        ),
+        ranked_cells AS (
+            SELECT vid, cell, ROW_NUMBER() OVER (
+                PARTITION BY vid ORDER BY s DESC, cell ASC) AS cr
+            FROM cell_scored
+        ),
+        vcell AS (SELECT vid AS vec_id, cell FROM ranked_cells WHERE cr = 1),
+        qcell AS (SELECT vid AS query_id, cell FROM ranked_cells
+                  WHERE cr <= {n_probe}
+                    AND vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})),
+        quantized AS (
+            SELECT {id_col} AS vid,
+                   (generate_subscripts({vec_col}, 1) - 1) // {d_sub} AS j,
+                   (generate_subscripts({vec_col}, 1) - 1) % {d_sub} AS pos,
+                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {quant}) AS BIGINT) AS qi
+            FROM {table}
+        ),
+        cw AS (
+            SELECT {id_col} AS cw_vid,
+                   ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS c
+            FROM {table} WHERE {codeword_pred}
+        ),
+        cb AS (
+            SELECT cw.c, q.j, q.pos, q.qi AS cv
+            FROM cw JOIN quantized q ON q.vid = cw.cw_vid
+        ),
+        code_d2 AS (
+            SELECT q.vid, q.j, cb.c,
+                   CAST(SUM((q.qi - cb.cv) * (q.qi - cb.cv)) AS BIGINT) AS d2
+            FROM quantized q JOIN cb ON cb.j = q.j AND cb.pos = q.pos
+            GROUP BY q.vid, q.j, cb.c
+        ),
+        codes AS (
+            SELECT vid, j, c AS code FROM (
+                SELECT vid, j, c, ROW_NUMBER() OVER (
+                    PARTITION BY vid, j ORDER BY d2 ASC, c ASC) AS rr
+                FROM code_d2
+            ) WHERE rr = 1
+        ),
+        adc_table AS (
+            SELECT q.vid AS query_id, q.j, cb.c,
+                   CAST(SUM(q.qi * cb.cv) AS BIGINT) AS dot
+            FROM quantized q JOIN cb ON cb.j = q.j AND cb.pos = q.pos
+            WHERE q.vid IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+            GROUP BY q.vid, q.j, cb.c
+        ),
+        adc AS (
+            SELECT qc.query_id, vc.vec_id,
+                   CAST(SUM(t.dot) AS BIGINT) AS adc
+            FROM qcell qc
+            JOIN vcell vc USING (cell)
+            JOIN codes cd ON cd.vid = vc.vec_id
+            JOIN adc_table t ON t.query_id = qc.query_id
+                            AND t.j = cd.j AND t.c = cd.code
+            GROUP BY qc.query_id, vc.vec_id
+        ),
+        shortlist AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS r
+                FROM adc
+            ) WHERE r <= {kprime}
+        ),
+        rescored AS (
+            SELECT s.query_id, s.vec_id,
+                   CAST(FLOOR({cos} * 10000 + 0.5) AS BIGINT) AS cosine_bp
+            FROM shortlist s
+            JOIN {table} a ON a.{id_col} = s.query_id
+            JOIN {table} b ON b.{id_col} = s.vec_id
+        ),
+        topk AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_bp DESC, vec_id ASC
+            ) AS INTEGER) AS rank
+            FROM rescored
+        )
+        SELECT query_id, vec_id, cosine_bp, rank FROM topk WHERE rank <= {k}
+    """

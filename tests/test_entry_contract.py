@@ -87,7 +87,7 @@ def test_pair_finding_plans_have_no_quadratic_join(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
-@pytest.mark.parametrize("name", ["ann_topk_lsh", "ann_topk_ivf"])
+@pytest.mark.parametrize("name", ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq"])
 def test_ann_plans_quadratic_only_in_recall_witness(spark, name):
     """The ANN pipelines themselves stay equi-join-bucketed; the single
     allowed BroadcastNestedLoopJoin is the in-query recall witness's
@@ -119,7 +119,7 @@ def test_cosine_topk_bnlj_allowance_is_pinned(spark):
 # at 100 TB a .distinct() that carries vectors shuffles ~1 KB per
 # duplicate candidate where 16 bytes of ids suffice. Broadcast exchanges
 # of the (small) query/candidate side are exempt by design.
-VECTOR_QUERIES = ["ann_topk_lsh", "ann_topk_ivf", "embedding_near_dups", "cosine_topk"]
+VECTOR_QUERIES = ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "embedding_near_dups", "cosine_topk"]
 
 
 @pytest.mark.parametrize("name", VECTOR_QUERIES)

@@ -122,6 +122,21 @@ class TestRealCodecs:
         with pytest.raises(ValueError):
             decode_bmp(good[:-5])
 
+    def test_wav_roundtrip_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(1, 2000), st.integers(0, 2**32 - 1),
+               st.sampled_from([8000, 16000, 44100]))
+        def prop(n, seed, rate):
+            s = (np.random.default_rng(seed)
+                 .integers(-(2**15), 2**15, n).astype(np.int16))
+            got_rate, got = decode_wav(encode_wav(s, rate))
+            assert got_rate == rate and (got == s).all()
+
+        prop()
+
     def test_wav_roundtrip_and_chunk_walk(self):
         rng = np.random.default_rng(11)
         s = rng.integers(-(2**15), 2**15, 333).astype(np.int16)
