@@ -963,3 +963,74 @@ def duckdb_ivfpq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
         )
         SELECT query_id, vec_id, cosine_bp, rank FROM topk WHERE rank <= {k}
     """
+
+
+def train_pq_codebooks(vectors: DataFrame, m: int = 4, ksub: int = 16,
+                       iters: int = 3, quant: int = PQ_QUANT,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       codeword_pred: str = "vec_id < 16") -> np.ndarray:
+    """Lloyd refinement of the data-point PQ codebooks — the
+    production-recall twin of ``train_ivf_pivots`` (same distributed
+    shape): each iteration is ONE mapInArrow pass that PQ-encodes every
+    vector against the current integer codebooks and emits
+    per-(partition, subquantizer, codeword) partial sums — O(P·m·ksub)
+    rows, independent of the vector count — which the driver combines
+    in sorted order. Centroid update is floor(sum/count) back into the
+    same int64 quantized space, so the trained codebooks remain exactly
+    the kind of object the encode/ADC kernels (and a SQL replay)
+    consume; empty codewords keep their previous value. Deterministic
+    for a given input partitioning (sorted combine, integer updates).
+
+    At 100 TB: train on a hash-sample (operators.sampling.hash_sample);
+    the assignment pass is the same batched integer argmin as encoding."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    cb = pq_codebooks_int(vectors, m, ksub, quant, id_col, vec_col, codeword_pred)
+    d_sub = cb.shape[2]
+    proj = vectors.select(F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        cur = cb  # capture by value
+
+        def partials(batches):
+            sums = np.zeros((m, ksub, d_sub), dtype=np.int64)
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for batch in batches:
+                v = np.array(batch.column(0).to_pylist(), dtype=np.float64)
+                if v.size == 0:
+                    continue
+                q = np.floor(v * quant).astype(np.int64)
+                for j in range(m):
+                    sub = q[:, j * d_sub:(j + 1) * d_sub]
+                    d2 = ((sub[:, None, :] - cur[j][None, :, :]) ** 2).sum(axis=2)
+                    code = np.argmin(d2, axis=1)
+                    np.add.at(sums[j], code, sub)
+                    np.add.at(counts[j], code, 1)
+            pid = TaskContext.get().partitionId()
+            j_idx, c_idx = np.nonzero(counts)
+            yield pa.RecordBatch.from_pydict({
+                "partition_id": [pid] * j_idx.size,
+                "j": j_idx.astype("int32"),
+                "c": c_idx.astype("int32"),
+                "count": counts[j_idx, c_idx],
+                "sums": [sums[j, c].tobytes() for j, c in zip(j_idx, c_idx)],
+            }, schema=pa.schema([("partition_id", pa.int32()),
+                                 ("j", pa.int32()), ("c", pa.int32()),
+                                 ("count", pa.int64()), ("sums", pa.binary())]))
+
+        rows = proj.mapInArrow(
+            partials, schema="partition_id int, j int, c int, count long, sums binary"
+        ).collect()
+        sums = np.zeros((m, ksub, d_sub), dtype=np.int64)
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        # sorted combine: integer sums are order-free anyway; sorting
+        # keeps the procedure identical to train_ivf_pivots' contract
+        for r in sorted(rows, key=lambda r: (r["partition_id"], r["j"], r["c"])):
+            sums[r["j"], r["c"]] += np.frombuffer(bytes(r["sums"]), dtype=np.int64)
+            counts[r["j"], r["c"]] += r["count"]
+        new = cb.copy()
+        nz = counts > 0
+        # floor division keeps centroids in the quantized int64 space
+        new[nz] = sums[nz] // counts[nz, None]
+        cb = new
+    return cb
