@@ -526,6 +526,63 @@ def _q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key heavy hitters via GROUPED Misra–Gries — completes the
+    grouped family (distinct: grouped_distinct; quantiles:
+    grouped_quantiles; heavy hitters: here): one MG sketch per
+    event_type over user_id, candidates + exact confirm ≡ per-group
+    GROUP BY HAVING. Same determinism argument as the global
+    mg_heavy_hitters: every (group, user) with true count >
+    (N_g − S_g)/(k+1) is provably stored, so with k sized such that
+    N_g/(k+1) < threshold the per-group candidate set is a guaranteed
+    superset and the confirm makes the output EXACT; within_bound
+    witnesses the undercount theorem (0 ≤ exact − est ≤ bound_g) per
+    row. The exchange carries (group, blob) partials, never rows."""
+    from bloomfilter_multithread_spark.operators.build import SketchSpec
+    from bloomfilter_multithread_spark.operators.grouped import (
+        build_sketches_grouped,
+        collect_grouped,
+    )
+
+    threshold = 15
+    ev = _read(spark, sf_dir, "events")
+    merged = build_sketches_grouped(
+        ev, "event_type", [SketchSpec("m", "mg", "user_id", {"k": 2047})]
+    )
+    rows = []
+    for (g, _name), s in sorted(collect_grouped(merged).items()):
+        bound = s.error_bound()
+        assert bound < threshold, (
+            "per-group MG capacity too small: raise k so N_g/(k+1) < threshold"
+        )
+        hs = s.item_hashes()
+        for h, e in zip(hs, s.estimate_hashes(hs)):
+            rows.append((g, int(h), int(e), float(bound)))
+    cand = spark.createDataFrame(
+        rows, "event_type string, _h long, _est long, _bound double"
+    )
+    exact = (
+        ev.select("event_type", "user_id", F.xxhash64(F.col("user_id")).alias("_h"))
+        .join(F.broadcast(cand), ["event_type", "_h"])
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.first("_est").alias("_est"),
+            F.first("_bound").alias("_bound"),
+        )
+        .where(F.col("n_events") >= threshold)
+    )
+    return exact.select(
+        "event_type",
+        "user_id",
+        "n_events",
+        (
+            (F.col("n_events") >= F.col("_est"))
+            & ((F.col("n_events") - F.col("_est")) <= F.col("_bound"))
+        ).alias("within_bound"),
+    )
+
+
 def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketches as PER-KEY aggregates: one t-digest per event_type (two-
     level grouped combine: map-side per-group partials -> applyInPandas
@@ -2741,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_quantile_interop": _q_native_quantile_interop,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_distinct": _q_grouped_distinct,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "windowed_distinct": _q_windowed_distinct,
         "hopping_distinct": _q_hopping_distinct,
         "session_windows": _q_session_windows,
@@ -2956,6 +3014,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        # per-group MG candidates + exact confirm == per-group GROUP BY
+        # HAVING (zero FN above the per-group bound, asserted in-query);
+        # within_bound is the undercount theorem, TRUE under any merge
+        "grouped_heavy_hitters": """
+            SELECT event_type, user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type, user_id
+            HAVING COUNT(*) >= 15
         """,
         "windowed_distinct": """
             SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,

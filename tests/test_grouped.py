@@ -78,3 +78,66 @@ def test_null_groups_are_dropped(spark):
     rows = merged.collect()
     assert [r["group_key"] for r in rows] == ["x"]
     assert rows[0]["n_rows"] == 2
+
+
+def test_grouped_mg_candidates_are_superset_above_bound(spark, synth):
+    """Per-group Misra–Gries (round 4): even with a deliberately small
+    k (heavy eviction), every (group, uid) whose true count exceeds
+    that group's merged error bound must be present in the candidate
+    set — the zero-FN-above-bound theorem, per group, across the
+    map-side-partial merge."""
+    from pyspark.sql import functions as F
+
+    merged = build_sketches_grouped(
+        synth, "grp", [SketchSpec("m", "mg", "uid", {"k": 63})]
+    )
+    sk = collect_grouped(merged)
+    exact = {
+        (r["grp"], r["uid"]): r["c"]
+        for r in synth.groupBy("grp", "uid").agg(F.count("*").alias("c")).collect()
+    }
+    hashes = {
+        r["uid"]: r["h"]
+        for r in synth.select("uid").distinct()
+        .withColumn("h", F.xxhash64("uid")).collect()
+    }
+    for (g, _name), s in sk.items():
+        bound = s.error_bound()
+        stored = set(int(h) for h in s.item_hashes())
+        for (gg, uid), c in exact.items():
+            if gg == g and c > bound:
+                assert hashes[uid] in stored, (g, uid, c, bound)
+        # undercount contract on everything stored
+        hs = s.item_hashes()
+        est = dict(zip((int(h) for h in hs), s.estimate_hashes(hs)))
+        for (gg, uid), c in exact.items():
+            if gg == g and hashes[uid] in est:
+                assert 0 <= c - est[hashes[uid]] <= bound, (g, uid)
+
+
+def test_grouped_mg_confirm_output_partition_invariant(spark, synth):
+    """The candidates+exact-confirm composition (the contract query's
+    shape) returns the same exact rows under different partitionings,
+    even though individual MG estimates are merge-order dependent."""
+    from pyspark.sql import functions as F
+
+    def run(df):
+        merged = build_sketches_grouped(
+            df, "grp", [SketchSpec("m", "mg", "uid", {"k": 511})]
+        )
+        rows = []
+        for (g, _n), s in sorted(collect_grouped(merged).items()):
+            hs = s.item_hashes()
+            rows += [(g, int(h)) for h in hs]
+        cand = spark.createDataFrame(rows, "grp string, _h long")
+        return sorted(
+            (r["grp"], r["uid"], r["c"])
+            for r in df.select("grp", "uid", F.xxhash64("uid").alias("_h"))
+            .join(F.broadcast(cand), ["grp", "_h"])
+            .groupBy("grp", "uid").agg(F.count("*").alias("c"))
+            .where(F.col("c") >= 8).collect()
+        )
+
+    a = run(synth.repartition(3))
+    b = run(synth.repartition(17))
+    assert a == b
