@@ -2731,7 +2731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (b) queries last verified in rounds 1-2, then (c) a rotation of
     round-3-verified queries. Everything from position 51 on is
     round-3-driver-verified and fully covered by the local mirror
-    (tests/test_entry_contract.py) every run."""
+    (tests/test_entry_contract.py) every run — EXCEPT
+    `grouped_heavy_hitters` (added late in round 4, local-mirror-green
+    at 3 SFs): round 5 should rotate it into the first 50."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
