@@ -279,7 +279,11 @@ def synth_real_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                     i = np.arange(n, dtype=np.int64)
                     s = ((mid * 13 + i * 7919) % 4096 - 2048).astype(np.int16)
                     rows.append((mid, "audio", "audio/wav", encode_wav(s, 8000)))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload"])
+            out = pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload"])
+            # a batch of only %3==2 ids yields zero rows; pin the id
+            # dtype so Arrow never has to infer from an empty object col
+            out["media_id"] = out["media_id"].astype("int64")
+            yield out
 
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         run, schema="media_id long, kind string, mime string, payload binary"
@@ -310,10 +314,13 @@ def decode_stats(df: DataFrame, payload_col: str = "payload",
                     raise NotImplementedError(f"no trivial decoder for {mime!r}")
                 rows.append((int(mid), kind, int(v.size), int(v.sum()),
                              int(v.min()), int(v.max())))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "units", "val_sum", "val_min", "val_max"],
             )
+            for c in ("media_id", "units", "val_sum", "val_min", "val_max"):
+                out[c] = out[c].astype("int64")  # empty-batch dtype pin
+            yield out
 
     return df.mapInPandas(
         run,

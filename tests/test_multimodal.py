@@ -222,3 +222,14 @@ def test_media_repartition_file_sizing_reads_no_data(spark, media, tmp_path, mon
     out = media_repartition(df, target_bytes=1 << 12)
     disk = sum(os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet")))
     assert out.rdd.getNumPartitions() == math.ceil(disk / (1 << 12))
+
+
+def test_synth_real_media_video_only_batch_yields_empty_cleanly(spark):
+    """A batch containing only id % 3 == 2 (video) rows produces ZERO
+    synth rows — the empty pandas frame must still cross Arrow with the
+    declared schema (dtype-pinned, not inferred from an empty object
+    column)."""
+    ids = spark.range(20).select((F.col("id") * 3 + 2).alias("media_id"))
+    media = synth_real_media(ids, "media_id")
+    assert media.count() == 0
+    assert decode_stats(media).count() == 0
