@@ -1006,6 +1006,33 @@ def _q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed mixture spec for the mixture_sample contract query: 60 docs
+# split 35/25/18/12/10% across five sources. allocate_quotas runs at
+# import time (pure integer result) so BOTH engines inline the same
+# quota literals — the IVF-pivot-literal idiom applied to seat counts.
+_MIXTURE_PROPS = {"src0": 0.35, "src1": 0.25, "src2": 0.18,
+                  "src3": 0.12, "src4": 0.10}
+_MIXTURE_TOTAL = 60
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition: an exact per-source row QUOTA
+    (largest-remainder apportionment of 60 docs over 5 sources) selected
+    by the shared md5 hash order — deterministic, retry-stable, nested
+    per source (re-weighting the mixture only grows/shrinks each
+    source's prefix). Row-level oracle-exact including the rank."""
+    from bloomfilter_multithread_spark.operators.sampling import (
+        allocate_quotas,
+        mixture_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    quotas = allocate_quotas(_MIXTURE_TOTAL, _MIXTURE_PROPS)
+    return mixture_sample(docs, "doc_id", "source", quotas, seed="mix").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
 def _q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (64-token chunks, stride 48) — the
     RAG/long-context shaping op; fully narrow (no shuffle): explode a
@@ -1157,6 +1184,20 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     allv = _planted_neardup_embeddings(emb)
     return embedding_near_dups(allv, threshold_bp=9900, dim=64, n_bits=10, tables=6)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop decision per embedding: coarse-quantizer
+    cells + within-cell cosine leader rule (threshold 0.40 — the same
+    interesting-similarity level as cosine_pairs_brute on this corpus).
+    One row per vector with (cell, dup_of, kept); the only pair join is
+    a self-EQUI-join on cell (co-located when the table is partitioned
+    by cell — no O(N^2) shape anywhere). Hash-exact oracle: literal
+    pivots + the same exact-cosine basis points in DuckDB."""
+    from bloomfilter_multithread_spark.operators.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold_bp=4000, dim=64, n_cells=16, seed=42)
 
 
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2727,13 +2768,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries. ORDERING CONTRACT (VERDICT r3 task 1): the
     driver's CORRECTNESS artifact records only the FIRST 50 dict
     entries, so positions 1-50 are reserved for (a) queries never
-    driver-verified in rounds 1-3 plus this round's new queries, then
-    (b) queries last verified in rounds 1-2, then (c) a rotation of
-    round-3-verified queries. Everything from position 51 on is
-    round-3-driver-verified and fully covered by the local mirror
-    (tests/test_entry_contract.py) every run — EXCEPT
-    `grouped_heavy_hitters` (added late in round 4, local-mirror-green
-    at 3 SFs): round 5 should rotate it into the first 50."""
+    driver-verified in rounds 1-3 plus this round's new queries
+    (including the late round-4 additions `semantic_dedup`,
+    `mixture_sample`, `grouped_heavy_hitters`), then (b) queries last
+    verified in rounds 1-2, then (c) a rotation of round-3-verified
+    queries. Everything from position 51 on has at least one driver-
+    verified CORRECTNESS row from rounds 1-3 and is re-checked by the
+    local mirror (tests/test_entry_contract.py) every run. The three
+    slots freed for (a) were `hll_distinct` / `cms_heavy_users` /
+    `kll_quantiles` — each driver-green in rounds 1, 2 AND 3."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -2776,9 +2819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": _q_bloom_fpr,
         "bloom_semijoin": _q_bloom_semijoin,
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
-        "hll_distinct": _q_hll_distinct,
-        "cms_heavy_users": _q_cms_heavy_users,
-        "kll_quantiles": _q_kll_quantiles,
+        "semantic_dedup": _q_semantic_dedup,
+        "mixture_sample": _q_mixture_sample,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "kmv_setops": _q_kmv_setops,
         "minhash_neardup": _q_minhash_neardup,
@@ -2800,7 +2843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_quantile_interop": _q_native_quantile_interop,
         "grouped_quantiles": _q_grouped_quantiles,
         "grouped_distinct": _q_grouped_distinct,
-        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
+        "cms_heavy_users": _q_cms_heavy_users,
+        "kll_quantiles": _q_kll_quantiles,
         "windowed_distinct": _q_windowed_distinct,
         "hopping_distinct": _q_hopping_distinct,
         "session_windows": _q_session_windows,
@@ -2882,11 +2927,14 @@ def oracle_sql() -> dict[str, str]:
         duckdb_ivfpq_sql,
         duckdb_lsh_topk_sql,
         duckdb_recall_sql,
+        duckdb_semantic_dedup_sql,
         duckdb_topk_sql,
     )
     from bloomfilter_multithread_spark.operators.sampling import (
+        allocate_quotas,
         duckdb_group_sample_sql,
         duckdb_hash_bucket_sql,
+        duckdb_mixture_sample_sql,
         duckdb_priority_sample_sql,
     )
     from bloomfilter_multithread_spark.operators.decontam import (
@@ -3530,6 +3578,12 @@ def oracle_sql() -> dict[str, str]:
         "group_sample": duckdb_group_sample_sql(
             "documents", "doc_id", "source", n=5, seed="gs",
             cols="doc_id, source"),
+        "mixture_sample": duckdb_mixture_sample_sql(
+            "documents", "doc_id", "source",
+            allocate_quotas(_MIXTURE_TOTAL, _MIXTURE_PROPS), seed="mix",
+            cols="doc_id, source"),
+        "semantic_dedup": duckdb_semantic_dedup_sql(
+            threshold_bp=4000, dim=64, n_cells=16, seed=42),
         "kmv_setops": """
             WITH a AS (SELECT DISTINCT o_orderkey AS key FROM orders
                        WHERE o_orderstatus = 'F'),

@@ -231,3 +231,85 @@ def duckdb_priority_sample_sql(table: str, key: str, weight: str, k: int,
                        AS BIGINT) FROM samp) AS est_milli
         FROM samp
     """
+
+
+def allocate_quotas(total: int, proportions: dict[str, float]) -> dict[str, int]:
+    """Largest-remainder (Hamilton) apportionment of ``total`` rows
+    across groups with target ``proportions`` (must sum to ~1): each
+    group gets floor(total * p), then the leftover seats go to the
+    largest fractional remainders (ties broken by group name, so the
+    allocation is fully deterministic). Runs driver-side at plan time —
+    the quotas are plain integers that both engines inline as literals,
+    exactly like the IVF pivot literals."""
+    if total < 0:
+        raise ValueError("total >= 0")
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    s = sum(proportions.values())
+    if not 0.999 <= s <= 1.001:
+        raise ValueError(f"proportions sum to {s}, expected ~1")
+    exact = {g: total * p for g, p in proportions.items()}
+    base = {g: int(exact[g]) for g in exact}
+    left = total - sum(base.values())
+    order = sorted(exact, key=lambda g: (-(exact[g] - base[g]), g))
+    for g in order[:left]:
+        base[g] += 1
+    return base
+
+
+def mixture_sample(df: DataFrame, key: Column | str, group: Column | str,
+                   quotas: dict[str, int], seed: str = "") -> DataFrame:
+    """Data-MIXING sampler: a fixed per-group QUOTA of rows (one quota
+    per source/domain, usually from :func:`allocate_quotas`), selected
+    by the module's shared md5 hash order. This is the operator that
+    composes a training mixture ("50% web, 30% code, 20% books, total N
+    docs") — the fixed-RATE samplers can't hit an exact per-source row
+    budget and :func:`group_sample_topk` forces one n for every group.
+
+    Inherits every determinism property of the family: no RNG state,
+    retry/partitioning-invariant, cross-engine mirrorable, and NESTED
+    per group (raising one source's quota extends its sample instead of
+    resampling — the hash order is a fixed total order, so mixture
+    re-weighting between pipeline runs only adds/removes the tail of
+    each source's prefix, maximizing sample overlap across experiments).
+
+    Groups absent from ``quotas`` are dropped (quota 0). Scale shape:
+    identical to ``group_sample_topk`` — one hash shuffle on ``group``
+    plus a per-group rank filter; for a pathologically hot source apply
+    the same raw-hash ``prethin_cutoff`` prefix filter before calling
+    (bottom-k commutes with a prefix of its own order)."""
+    for g, q in quotas.items():
+        if q < 0:
+            raise ValueError(f"quota for {g!r} must be >= 0")
+    gc = F.col(group) if isinstance(group, str) else group
+    kc = F.col(key) if isinstance(key, str) else key
+    h = md5_hash_col(F.concat(kc.cast("string"), F.lit(seed)))
+    qcol = F.create_map(
+        *[F.lit(x) for g, q in sorted(quotas.items()) for x in (g, q)]
+    )[gc]
+    w = Window.partitionBy(gc).orderBy(h.asc(), kc.asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= F.coalesce(qcol, F.lit(0)))
+    )
+
+
+def duckdb_mixture_sample_sql(table: str, key: str, group: str,
+                              quotas: dict[str, int], seed: str = "",
+                              cols: str | None = None) -> str:
+    """Exact mirror of :func:`mixture_sample` (same md5 order, same
+    tiebreak, quotas inlined as a CASE literal)."""
+    cols = cols or f"{key}, {group}"
+    h = f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '{seed}'), 1, 8))::BIGINT"
+    case = " ".join(
+        f"WHEN '{g}' THEN {q}" for g, q in sorted(quotas.items())
+    )
+    return f"""
+        SELECT * FROM (
+            SELECT {cols},
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {group} ORDER BY {h}, {key}) AS BIGINT)
+                     AS sample_rank
+            FROM {table})
+        WHERE sample_rank <= (CASE {group} {case} ELSE 0 END)
+    """

@@ -1034,3 +1034,118 @@ def train_pq_codebooks(vectors: DataFrame, m: int = 4, ksub: int = 16,
         new[nz] = sums[nz] // counts[nz, None]
         cb = new
     return cb
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+
+def semantic_dedup(vectors: DataFrame, threshold_bp: int = 4000, dim: int = 64,
+                   n_cells: int = 16, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   pivots: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the coarse quantizer,
+    then WITHIN each cluster mark every vector that has a lower-id
+    neighbor at cosine >= threshold as a duplicate of its smallest such
+    neighbor (the deterministic "keep one leader per semantic
+    neighborhood" rule). Complements the other dedup family members:
+    ``embedding_near_dups`` finds PAIRS via LSH buckets,
+    ``neardup_clusters`` builds full connected components iteratively —
+    this one is the single-pass keep/drop DECISION per document that a
+    training-data pipeline actually applies.
+
+    Plan shape (the 100 TB story): cell assignment is a narrow
+    Arrow-batched matmul (``ivf_cells_udf``); the only pair-finding join
+    is a self-EQUI-join on cell, so with the vector table stored
+    partitioned BY CELL it is co-located (zero exchange) and the
+    quadratic term is bounded by the cell size — at scale SemDeDup grows
+    n_cells proportionally to N (cells ~ N / target_cluster_size), which
+    is exactly how the paper keeps within-cluster pair scans constant
+    per document. No all-pairs anywhere; dup-mark aggregation and the
+    final left join move (id, cell, id) rows only.
+
+    Returns one row PER INPUT VECTOR: (vec_id, cell, dup_of, kept) with
+    ``dup_of`` the smallest-id in-cell neighbor above threshold (NULL
+    for kept leaders) and ``kept = dup_of IS NULL``.
+
+    Reference context: the reference's probe phase answers "seen
+    before?" per k-mer (src/main.cpp:61-74 query loop); this is the
+    embedding-space analogue of that seen-filter, with "seen" relaxed
+    from equality to cosine-neighborhood membership."""
+    if pivots is None:
+        pivots = _ivf_pivots(dim, n_cells, seed)
+    top1_udf = ivf_cells_udf(pivots, 1)
+    vb = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(top1_udf(F.col(vec_col)), 1).alias("cell"),
+    )
+    a, b = vb.alias("a"), vb.alias("b")
+    dup_of = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn(
+            "cosine_bp",
+            F.floor(cosine(F.col("a.vec"), F.col("b.vec")) * 10000 + F.lit(0.5))
+            .cast("long"),
+        )
+        .where(F.col("cosine_bp") >= threshold_bp)
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("a.vec_id")).alias("dup_of"))
+    )
+    return (
+        vb.join(dup_of, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("cell"),
+            F.col("dup_of").cast("long"),
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def duckdb_semantic_dedup_sql(threshold_bp: int = 4000, dim: int = 64,
+                              n_cells: int = 16, seed: int = 42,
+                              table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> str:
+    """SQL mirror of :func:`semantic_dedup` — the same literal pivots /
+    nearest-cell assignment as the IVF oracles (argmax-margin argument),
+    the same exact-cosine basis points, the same leader rule."""
+    pivots = _ivf_pivots(dim, n_cells, seed)
+    rows = ",\n               ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(pivots)
+    )
+    cos = _DDB_COS.format(a=f"ea.{vec_col}", b=f"eb.{vec_col}")
+    return f"""
+        WITH pivots(cell, pv) AS (
+            VALUES {rows}
+        ),
+        scored AS (
+            SELECT v.{id_col} AS vec_id, p.cell,
+                   list_dot_product(v.{vec_col}::DOUBLE[], p.pv)
+                   / sqrt(list_dot_product(v.{vec_col}::DOUBLE[], v.{vec_col}::DOUBLE[])) AS s
+            FROM {table} v CROSS JOIN pivots p
+        ),
+        vcell AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS cr
+                FROM scored
+            ) WHERE cr = 1
+        ),
+        dup AS (
+            SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+            FROM vcell a
+            JOIN vcell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN {table} ea ON ea.{id_col} = a.vec_id
+            JOIN {table} eb ON eb.{id_col} = b.vec_id
+            WHERE CAST(FLOOR({cos} * 10000 + 0.5) AS BIGINT) >= {threshold_bp}
+            GROUP BY b.vec_id
+        )
+        SELECT CAST(v.vec_id AS BIGINT) AS vec_id, v.cell,
+               CAST(d.dup_of AS BIGINT) AS dup_of,
+               (d.dup_of IS NULL) AS kept
+        FROM vcell v LEFT JOIN dup d USING (vec_id)
+    """

@@ -76,7 +76,8 @@ def test_query_matches_oracle(spark, ddb, name):
 # every contract query that finds PAIRS must go through a bucketed
 # equi-join — no O(N^2) physical join shapes on the public surface
 # (VERDICT.md round-1 'What's wrong' #3)
-PAIR_QUERIES = ["embedding_near_dups", "minhash_neardup", "simhash_neardup"]
+PAIR_QUERIES = ["embedding_near_dups", "minhash_neardup", "simhash_neardup",
+                "semantic_dedup"]
 
 
 @pytest.mark.parametrize("name", PAIR_QUERIES)

@@ -338,3 +338,68 @@ class TestPrioritySample:
         plan = s._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "Sort " not in plan  # no global sort stage
+
+
+class TestMixtureSample:
+    def test_allocate_quotas_largest_remainder(self):
+        from bloomfilter_multithread_spark.operators.sampling import allocate_quotas
+
+        q = allocate_quotas(60, {"a": 0.35, "b": 0.25, "c": 0.18,
+                                 "d": 0.12, "e": 0.10})
+        assert sum(q.values()) == 60
+        # floors are 21/15/10/7/6 = 59; the one leftover seat goes to
+        # the largest remainder (c: .8)
+        assert q == {"a": 21, "b": 15, "c": 11, "d": 7, "e": 6}
+        # deterministic name tie-break when remainders tie exactly
+        q2 = allocate_quotas(1, {"x": 0.5, "y": 0.5})
+        assert q2 == {"x": 1, "y": 0}
+        with pytest.raises(ValueError):
+            allocate_quotas(10, {"a": 0.2, "b": 0.2})
+
+    def test_quotas_hit_exactly_and_groups_absent_are_dropped(self, docs):
+        from bloomfilter_multithread_spark.operators.sampling import mixture_sample
+
+        q = {"src0": 7, "src1": 3, "src2": 0}
+        s = mixture_sample(docs, "doc_id", "source", q, seed="m")
+        per = dict((r[0], r[1]) for r in
+                   s.groupBy("source").count().collect())
+        assert per == {"src0": 7, "src1": 3}
+
+    def test_nested_across_quota_raise(self, docs):
+        """Raising one source's quota extends its sample instead of
+        resampling it (hash order is a fixed total order per group)."""
+        from bloomfilter_multithread_spark.operators.sampling import mixture_sample
+
+        small = mixture_sample(docs, "doc_id", "source",
+                               {"src0": 5, "src1": 8}, seed="m")
+        big = mixture_sample(docs, "doc_id", "source",
+                             {"src0": 12, "src1": 8}, seed="m")
+        assert set(_ids(small)) <= set(_ids(big))
+        # and the untouched source's sample is identical
+        s1 = _ids(small.where("source = 'src1'"))
+        b1 = _ids(big.where("source = 'src1'"))
+        assert s1 == b1
+
+    def test_partitioning_invariance(self, docs):
+        from bloomfilter_multithread_spark.operators.sampling import mixture_sample
+
+        q = {"src0": 9, "src3": 4}
+        a = mixture_sample(docs, "doc_id", "source", q, seed="m")
+        b = mixture_sample(docs.repartition(17), "doc_id", "source", q, seed="m")
+        assert sorted(map(tuple, a.select("doc_id", "sample_rank").collect())) == \
+            sorted(map(tuple, b.select("doc_id", "sample_rank").collect()))
+
+    def test_agrees_with_group_sample_when_quotas_equal(self, docs):
+        """mixture_sample with a constant quota IS group_sample_topk —
+        the two operators share one hash order."""
+        from bloomfilter_multithread_spark.operators.sampling import (
+            group_sample_topk,
+            mixture_sample,
+        )
+
+        srcs = [r[0] for r in docs.select("source").distinct().collect()]
+        m = mixture_sample(docs, "doc_id", "source",
+                           {s: 4 for s in srcs}, seed="z")
+        g = group_sample_topk(docs, "doc_id", "source", n=4, seed="z")
+        assert sorted(map(tuple, m.select("doc_id", "sample_rank").collect())) == \
+            sorted(map(tuple, g.select("doc_id", "sample_rank").collect()))

@@ -596,3 +596,83 @@ class TestIVFPQ:
             return sum(per_q.values()) / len(per_q)
 
         assert mean_recall(t1) >= mean_recall(init)
+
+
+class TestSemanticDedup:
+    def test_planted_copy_is_dropped_and_points_at_its_leader(self, spark, emb):
+        """A tiny perturbation of an existing vector lands in the same
+        coarse cell at cosine ~1, so SemDeDup must mark it as a
+        duplicate OF THAT vector (or of an even-lower-id in-cell
+        near-dup) and keep the original."""
+        from pyspark.sql import functions as F
+
+        from bloomfilter_multithread_spark.operators.similarity import semantic_dedup
+
+        base = emb.select("vec_id", "embedding")
+        pert = base.where("vec_id < 8").select(
+            (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1).cast("double") + F.lit(1e-4)),
+                F.slice(F.col("embedding").cast("array<double>"), 2, 63),
+            ).alias("embedding"),
+        )
+        out = semantic_dedup(base.unionByName(pert), threshold_bp=9900).collect()
+        rows = {r["vec_id"]: r for r in out}
+        for vid in range(8):
+            copy = rows[100000 + vid]
+            assert copy["cell"] == rows[vid]["cell"]
+            assert not copy["kept"]
+            assert copy["dup_of"] is not None and copy["dup_of"] <= vid
+
+    def test_matches_numpy_reference(self, spark, emb):
+        """Full output equals a numpy replay of the definition: within
+        each nearest-pivot cell, dup_of = min lower-id neighbor with
+        floor(cos*1e4+.5) >= threshold."""
+        import numpy as np
+
+        from bloomfilter_multithread_spark.operators.similarity import (
+            _ivf_pivots,
+            semantic_dedup,
+        )
+
+        thr = 4000
+        rows = sorted(emb.select("vec_id", "embedding").collect(),
+                      key=lambda r: r[0])
+        ids = np.array([r[0] for r in rows])
+        E = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        piv = np.array(_ivf_pivots(64, 16, 42))
+        cell = np.argmax((E @ piv.T) / np.linalg.norm(E, axis=1, keepdims=True),
+                         axis=1)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        want = {}
+        for c in range(16):
+            idx = np.where(cell == c)[0]
+            bp = np.floor((En[idx] @ En[idx].T) * 10000 + 0.5)
+            for j, gj in enumerate(idx):
+                lower = [ids[idx[i]] for i in range(j) if bp[i, j] >= thr]
+                want[int(ids[gj])] = (int(cell[gj]),
+                                      min(lower) if lower else None)
+        got = semantic_dedup(emb, threshold_bp=thr).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            wc, wd = want[r["vec_id"]]
+            assert (r["cell"], r["dup_of"], r["kept"]) == (wc, wd, wd is None), r
+
+    def test_pair_join_is_cell_equijoin(self, spark, emb):
+        from bloomfilter_multithread_spark.operators.similarity import semantic_dedup
+
+        plan = (semantic_dedup(emb)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_threshold_one_sided_monotone(self, spark, emb):
+        """Raising the threshold can only PROMOTE vectors from dropped
+        to kept (the neighbor predicate is monotone in the threshold)."""
+        from bloomfilter_multithread_spark.operators.similarity import semantic_dedup
+
+        lo = {r["vec_id"]: r["kept"]
+              for r in semantic_dedup(emb, threshold_bp=3500).collect()}
+        hi = {r["vec_id"]: r["kept"]
+              for r in semantic_dedup(emb, threshold_bp=4500).collect()}
+        assert all(hi[v] or not lo[v] for v in lo)
