@@ -1186,6 +1186,31 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(allv, threshold_bp=9900, dim=64, n_bits=10, tables=6)
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff (crawl N vs N+1 bookkeeping): two overlapping
+    snapshots derived deterministically from `orders` (old = keys with
+    key%10<9; new = keys with key%10>0, with o_custkey perturbed on
+    key%97==0), diffed per key into added/removed/changed rows. The
+    Spark side ships map-side md5 digests into ONE co-keyed full-outer
+    join; the ORACLE is deliberately NOT a digest mirror — DuckDB
+    compares the column tuples directly, so digest-logic bugs can't
+    hide in a shared mirror."""
+    from bloomfilter_multithread_spark.operators.versioning import snapshot_diff
+
+    orders = _read(spark, sf_dir, "orders")
+    old = orders.where("o_orderkey % 10 < 9").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    new = orders.where("o_orderkey % 10 > 0").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_custkey", "o_orderstatus"])
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style keep/drop decision per embedding: coarse-quantizer
     cells + within-cell cosine leader rule (threshold 0.40 — the same
@@ -2774,9 +2799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified in rounds 1-2, then (c) a rotation of round-3-verified
     queries. Everything from position 51 on has at least one driver-
     verified CORRECTNESS row from rounds 1-3 and is re-checked by the
-    local mirror (tests/test_entry_contract.py) every run. The three
+    local mirror (tests/test_entry_contract.py) every run. The four
     slots freed for (a) were `hll_distinct` / `cms_heavy_users` /
-    `kll_quantiles` — each driver-green in rounds 1, 2 AND 3."""
+    `kll_quantiles` / `tdigest_quantiles` — each driver-green in
+    rounds 1, 2 AND 3."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -2821,8 +2847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
         "semantic_dedup": _q_semantic_dedup,
         "mixture_sample": _q_mixture_sample,
+        "snapshot_diff": _q_snapshot_diff,
         "grouped_heavy_hitters": _q_grouped_heavy_hitters,
-        "tdigest_quantiles": _q_tdigest_quantiles,
         "kmv_setops": _q_kmv_setops,
         "minhash_neardup": _q_minhash_neardup,
         "incremental_neardup": _q_incremental_neardup,
@@ -2846,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "cms_heavy_users": _q_cms_heavy_users,
         "kll_quantiles": _q_kll_quantiles,
+        "tdigest_quantiles": _q_tdigest_quantiles,
         "windowed_distinct": _q_windowed_distinct,
         "hopping_distinct": _q_hopping_distinct,
         "session_windows": _q_session_windows,
@@ -2939,6 +2966,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from bloomfilter_multithread_spark.operators.decontam import (
         duckdb_decontaminate_sql,
+    )
+    from bloomfilter_multithread_spark.operators.versioning import (
+        duckdb_snapshot_diff_sql,
     )
     from bloomfilter_multithread_spark.operators.skew import duckdb_skew_sql
     from bloomfilter_multithread_spark.operators.textstats import (
@@ -3584,6 +3614,14 @@ def oracle_sql() -> dict[str, str]:
             cols="doc_id, source"),
         "semantic_dedup": duckdb_semantic_dedup_sql(
             threshold_bp=4000, dim=64, n_cells=16, seed=42),
+        "snapshot_diff": duckdb_snapshot_diff_sql(
+            "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders"
+            " WHERE o_orderkey % 10 < 9",
+            "SELECT o_orderkey,"
+            " CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1"
+            " ELSE o_custkey END AS o_custkey, o_orderstatus FROM orders"
+            " WHERE o_orderkey % 10 > 0",
+            ["o_orderkey"], ["o_custkey", "o_orderstatus"]),
         "kmv_setops": """
             WITH a AS (SELECT DISTINCT o_orderkey AS key FROM orders
                        WHERE o_orderstatus = 'F'),
