@@ -124,3 +124,46 @@ def duckdb_snapshot_diff_sql(old_sql: str, new_sql: str,
         )
         SELECT * FROM joined WHERE status <> 'unchanged'
     """
+
+
+def cbf_apply_snapshot_delta(old_df: DataFrame, new_df: DataFrame,
+                             key_cols: list[str], value_col: str,
+                             params: dict | None = None,
+                             cbf_old=None):
+    """Incremental sketch maintenance from a snapshot delta — the
+    operational answer to "a new crawl landed; update the seen-filter
+    WITHOUT rescanning 100 TB": diff the snapshots (slim digest join),
+    then build delta sketches over ONLY the added/changed/removed rows
+    and fold them into the existing state —
+
+        CBF(new) == CBF(old) + build(inserts) - build(retracts)
+
+    where inserts = new-side values of added∪changed keys and retracts =
+    old-side values of removed∪changed keys. Counting-Bloom counters are
+    exact multiset counters, so the identity is EXACT: the maintained
+    COUNTER ARRAY equals a from-scratch build's counter array slot for
+    slot (the wire blob may differ in FORM ONLY — subtract returns the
+    dense form while a routed build stays block-local; `.counters` is
+    the canonical view) — pinned by tests/test_versioning.py and the
+    `sketch_delta_update` contract query's in-query witness.
+
+    ``cbf_old`` is the persisted state from the previous run (load via
+    ``plans.checkpoint``); when None it is built from ``old_df`` (the
+    bootstrap run). The delta selection is two left-semi joins against
+    the diff's slim (key, status) output, so the expensive value scan +
+    sketch build touch delta rows only."""
+    from .build import SketchSpec, build_sketches
+
+    params = params or {"m_slots": 1 << 18, "k": 5, "block_slots": 1 << 14}
+    d = snapshot_diff(old_df, new_df, key_cols, [value_col])
+    ins_keys = d.where(F.col("status").isin("added", "changed")).select(*key_cols)
+    ret_keys = d.where(F.col("status").isin("removed", "changed")).select(*key_cols)
+    inserts = new_df.join(ins_keys, key_cols, "left_semi")
+    retracts = old_df.join(ret_keys, key_cols, "left_semi")
+    spec = [SketchSpec("d", "cbf", value_col, dict(params))]
+    empty = spec[0].make  # an all-empty delta side yields no partials
+    ins = build_sketches(inserts, spec, route_for="d").get("d") or empty()
+    ret = build_sketches(retracts, spec, route_for="d").get("d") or empty()
+    if cbf_old is None:
+        cbf_old = build_sketches(old_df, spec, route_for="d").get("d") or empty()
+    return cbf_old.merge(ins).subtract(ret)

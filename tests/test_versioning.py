@@ -110,3 +110,88 @@ def test_matches_duckdb_semantic_oracle(spark, sf_dir):
         ["o_orderkey"], ["o_custkey", "o_orderstatus"])
     want = sorted((k, s) for k, s in con.sql(sql).fetchall())
     assert got == want and len(got) > 0
+
+
+class TestCbfApplySnapshotDelta:
+    PARAMS = {"m_slots": 1 << 16, "k": 4, "block_slots": 1 << 12}
+
+    def _snapshots(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.concat(F.col("event_type"), F.lit(" "),
+                     F.coalesce(F.col("props"), F.lit(""))).alias("text"),
+        )
+        old = ev.where("event_id % 7 < 6")
+        new = ev.where("event_id % 7 > 0").select(
+            "event_id",
+            F.when(F.col("event_id") % 13 == 0,
+                   F.concat(F.col("text"), F.lit("~")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        return old, new
+
+    def test_maintained_state_byte_equals_scratch_build(self, spark, sf_dir):
+        from bloomfilter_multithread_spark.operators.build import (
+            SketchSpec,
+            build_sketches,
+        )
+        from bloomfilter_multithread_spark.operators.versioning import (
+            cbf_apply_snapshot_delta,
+        )
+
+        import numpy as np
+
+        old, new = self._snapshots(spark, sf_dir)
+        maintained = cbf_apply_snapshot_delta(
+            old, new, ["event_id"], "text", self.PARAMS)
+        scratch = build_sketches(
+            new, [SketchSpec("d", "cbf", "text", dict(self.PARAMS))],
+            route_for="d")["d"]
+        # counter-array identity (the wire blob may differ in FORM only:
+        # subtract returns the dense form, a routed build is block-local)
+        assert np.array_equal(maintained.counters, scratch.counters)
+        assert maintained.net_insert_count() == new.count()
+
+    def test_persisted_old_state_is_reused_not_rebuilt(self, spark, sf_dir):
+        """Passing cbf_old (the previous run's persisted state) gives
+        the identical result — the bootstrap build is not required."""
+        from bloomfilter_multithread_spark.operators.build import (
+            SketchSpec,
+            build_sketches,
+        )
+        from bloomfilter_multithread_spark.operators.versioning import (
+            cbf_apply_snapshot_delta,
+        )
+
+        old, new = self._snapshots(spark, sf_dir)
+        state = build_sketches(
+            old, [SketchSpec("d", "cbf", "text", dict(self.PARAMS))],
+            route_for="d")["d"]
+        import numpy as np
+
+        a = cbf_apply_snapshot_delta(old, new, ["event_id"], "text",
+                                     self.PARAMS, cbf_old=state)
+        b = cbf_apply_snapshot_delta(old, new, ["event_id"], "text",
+                                     self.PARAMS)
+        assert np.array_equal(a.counters, b.counters)
+
+    def test_empty_delta_is_identity(self, spark, sf_dir):
+        from bloomfilter_multithread_spark.operators.build import (
+            SketchSpec,
+            build_sketches,
+        )
+        from bloomfilter_multithread_spark.operators.versioning import (
+            cbf_apply_snapshot_delta,
+        )
+
+        old, _ = self._snapshots(spark, sf_dir)
+        state = build_sketches(
+            old, [SketchSpec("d", "cbf", "text", dict(self.PARAMS))],
+            route_for="d")["d"]
+        import numpy as np
+
+        same = cbf_apply_snapshot_delta(old, old, ["event_id"], "text",
+                                        self.PARAMS, cbf_old=state)
+        assert np.array_equal(same.counters, state.counters)
