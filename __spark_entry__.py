@@ -1455,6 +1455,83 @@ def _q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll_scores(docs)
 
 
+def _q_nll_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3): rank
+    every document by its unigram-LM cross-entropy and cut the corpus
+    into equal head/middle/tail thirds. The cut uses
+    ``ranking.global_ntile`` — SQL-NTILE semantics under a distributed
+    range-partitioned sort, NOT a single-partition window (the plan the
+    naive ``ntile().over(Window.orderBy(...))`` would produce; asserted
+    away in tests/test_ranking.py). The rank pass sees only
+    (doc_id, avg_nll_micro) — 16-byte rows, not documents."""
+    from bloomfilter_multithread_spark.operators.ranking import global_ntile
+    from bloomfilter_multithread_spark.operators.textstats import unigram_nll_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    nll = unigram_nll_scores(docs).select("doc_id", "avg_nll_micro")
+    b = global_ntile(nll, 3, ["avg_nll_micro", "doc_id"], bucket_col="bucket")
+    return b.select(
+        "doc_id",
+        "avg_nll_micro",
+        "bucket",
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("tier"),
+    )
+
+
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment: every
+    document gets a global position under the md5('ep1:'||doc_id) hash
+    order (a seeded pseudo-random permutation — same everywhere, any
+    engine/partitioning/retry, the module's md5 sampling idiom) and a
+    round-robin shard = pos % 8 (training-file assignment). Position
+    comes from ``ranking.global_rank`` — distributed two-pass, no
+    single-partition window; the frame entering the rank pass is
+    (doc_id, 32-hex md5) only."""
+    from bloomfilter_multithread_spark.operators.ranking import global_rank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "_h", F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
+    )
+    pos = global_rank(keyed, ["_h", "doc_id"], rank_col="pos")
+    return pos.select("doc_id", "pos", (F.col("pos") % 8).cast("long").alias("shard"))
+
+
+def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the canonical pretraining-curation chain
+    run end-to-end as ONE gated query: quality filter (quality_bp >=
+    2500) -> exact dedup (keeper = min doc_id per md5(text), among
+    SURVIVORS of the filter) -> deterministic 50% hash sample (seed
+    'e2e') -> per-(lang, source) doc/token/quality accounting. Every
+    stage is an already-gated operator; this query gates that they
+    COMPOSE (the thing a pipeline user actually runs). Shape at scale:
+    two narrow map stages, one md5 groupBy + left-semi join, one final
+    small aggregate — no new shuffle kinds beyond the stages' own."""
+    from bloomfilter_multithread_spark.operators.sampling import hash_sample
+    from bloomfilter_multithread_spark.operators.textstats import (
+        quality_score_bp,
+        token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.withColumn("quality_bp", quality_score_bp("text")).where(
+        F.col("quality_bp") >= 2500
+    )
+    keep = q.groupBy(F.md5("text").alias("_m")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d = q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    s = hash_sample(d, "doc_id", 0.5, seed="e2e")
+    return s.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        F.sum("quality_bp").cast("long").alias("sum_quality_bp"),
+    )
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bloomfilter_multithread_spark.operators.textstats import fingerprint_md5min
 
@@ -2852,7 +2929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local mirror (tests/test_entry_contract.py) every run. The five
     slots freed for (a) were `hll_distinct` / `cms_heavy_users` /
     `kll_quantiles` / `tdigest_quantiles` / `minhash_neardup` — each
-    driver-green in rounds 1, 2 AND 3."""
+    driver-green in rounds 1, 2 AND 3; three more (`bloom_semijoin` /
+    `runtime_filter_semijoin` / `kmv_setops`, each round-3
+    driver-green and unchanged since) were rotated to the tail to make
+    room for the late round-4 additions `nll_buckets`, `epoch_shuffle`
+    and `e2e_pipeline`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -2893,14 +2974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seen_text": _q_streaming_seen_text,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         "bloom_fpr": _q_bloom_fpr,
-        "bloom_semijoin": _q_bloom_semijoin,
-        "runtime_filter_semijoin": _q_runtime_filter_semijoin,
+        "nll_buckets": _q_nll_buckets,
+        "epoch_shuffle": _q_epoch_shuffle,
         "semantic_dedup": _q_semantic_dedup,
         "mixture_sample": _q_mixture_sample,
         "snapshot_diff": _q_snapshot_diff,
         "sketch_delta_update": _q_sketch_delta_update,
         "grouped_heavy_hitters": _q_grouped_heavy_hitters,
-        "kmv_setops": _q_kmv_setops,
+        "e2e_pipeline": _q_e2e_pipeline,
         "incremental_neardup": _q_incremental_neardup,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pq": _q_ann_topk_pq,
@@ -2949,6 +3030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "rollup_doc_counts": _q_rollup_doc_counts,
         "cube_doc_counts": _q_cube_doc_counts,
+        "bloom_semijoin": _q_bloom_semijoin,
+        "runtime_filter_semijoin": _q_runtime_filter_semijoin,
+        "kmv_setops": _q_kmv_setops,
     }
 
 
@@ -3221,6 +3305,50 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "tfidf_topk": duckdb_tfidf_topk_sql("documents", _TFIDF_QUERIES, 10),
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
+        # CCNet tiering: SQL-standard NTILE over the same total order
+        # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
+        "nll_buckets": f"""
+            WITH nll AS ({duckdb_unigram_nll_sql('documents')}),
+            b AS (SELECT doc_id, avg_nll_micro,
+                         CAST(NTILE(3) OVER (ORDER BY avg_nll_micro, doc_id)
+                              AS BIGINT) AS bucket
+                  FROM nll)
+            SELECT doc_id, avg_nll_micro, bucket,
+                   CASE WHEN bucket = 1 THEN 'head'
+                        WHEN bucket = 2 THEN 'middle'
+                        ELSE 'tail' END AS tier
+            FROM b
+        """,
+        # global_rank == ROW_NUMBER()-1 under the md5 permutation order
+        "epoch_shuffle": """
+            WITH p AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS BIGINT) AS pos
+                FROM documents)
+            SELECT doc_id, pos, CAST(pos % 8 AS BIGINT) AS shard FROM p
+        """,
+        # capstone chain: quality filter -> exact-dedup keeper ->
+        # deterministic 50% hash sample -> per-(lang, source) accounting;
+        # each stage is the SAME formula its standalone oracle uses.
+        "e2e_pipeline": f"""
+            WITH q AS (
+                SELECT d.doc_id, d.text, d.lang, d.source, qb.quality_bp
+                FROM documents d
+                JOIN ({duckdb_quality_bp('documents')}) qb USING (doc_id)
+                WHERE qb.quality_bp >= 2500),
+            keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+            s AS (SELECT * FROM q
+                  WHERE doc_id IN (SELECT doc_id FROM keep)
+                    AND {duckdb_hash_bucket_sql('doc_id', seed='e2e')} < 500000)
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(quality_bp) AS BIGINT) AS sum_quality_bp
+            FROM s GROUP BY lang, source
+        """,
         "skew_profile": duckdb_skew_sql("events", "user_id", top_k=20, n_buckets=32),
         "zorder_values": _zorder_oracle_sql(),
         "chunk_sliding": duckdb_chunk_sliding_sql("documents", max_tokens=64, stride=48),
