@@ -1500,6 +1500,30 @@ def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.select("doc_id", "pos", (F.col("pos") % 8).cast("long").alias("shard"))
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based quality filter (Rae et al. 2021
+    A.1.1) as per-doc boolean flags + combined keep verdict. Every
+    ratio rule is cross-multiplied to INTEGER comparisons (3n <=
+    sum_len <= 10n etc.), so flags are exact cross-engine. One narrow
+    map stage — no shuffle, no UDF."""
+    from bloomfilter_multithread_spark.operators.textstats import gopher_rules
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup accounting (Raffel et al. 2020 §2.2):
+    per-doc counts of deterministic 10-token line units whose
+    corpus-wide occurrence count reaches 3 (dup) vs survives (kept).
+    Unit explode is narrow JVM; only (id, md5) rows reach the count
+    groupBy and the count join."""
+    from bloomfilter_multithread_spark.operators.dedup import line_dedup_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return line_dedup_stats(docs)
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -2929,11 +2953,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local mirror (tests/test_entry_contract.py) every run. The five
     slots freed for (a) were `hll_distinct` / `cms_heavy_users` /
     `kll_quantiles` / `tdigest_quantiles` / `minhash_neardup` — each
-    driver-green in rounds 1, 2 AND 3; three more (`bloom_semijoin` /
-    `runtime_filter_semijoin` / `kmv_setops`, each round-3
-    driver-green and unchanged since) were rotated to the tail to make
-    room for the late round-4 additions `nll_buckets`, `epoch_shuffle`
-    and `e2e_pipeline`."""
+    driver-green in rounds 1, 2 AND 3; five more (`bloom_semijoin` /
+    `runtime_filter_semijoin` / `kmv_setops` round-3 driver-green,
+    `transcript_hll_convs` rounds-1+2 driver-green,
+    `ann_topk_lsh` rounds-2+3 driver-green — all unchanged since) were
+    rotated to the tail to make room for the late round-4 additions
+    `nll_buckets`, `epoch_shuffle`, `e2e_pipeline`, `gopher_rules` and
+    `line_dedup`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -2965,7 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
         "transcript_seen_text": _q_transcript_seen_text,
-        "transcript_hll_convs": _q_transcript_hll_convs,
+        "gopher_rules": _q_gopher_rules,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
         "supershingle_segments": _q_supershingle_segments,
@@ -2983,7 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_heavy_hitters": _q_grouped_heavy_hitters,
         "e2e_pipeline": _q_e2e_pipeline,
         "incremental_neardup": _q_incremental_neardup,
-        "ann_topk_lsh": _q_ann_topk_lsh,
+        "line_dedup": _q_line_dedup,
         "ann_topk_pq": _q_ann_topk_pq,
         "dedup_exact": _q_dedup_exact,
         "asof_join_events": _q_asof_join_events,
@@ -3033,6 +3059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
         "kmv_setops": _q_kmv_setops,
+        "transcript_hll_convs": _q_transcript_hll_convs,
+        "ann_topk_lsh": _q_ann_topk_lsh,
     }
 
 
@@ -3108,12 +3136,14 @@ def oracle_sql() -> dict[str, str]:
     from bloomfilter_multithread_spark.operators.skew import duckdb_skew_sql
     from bloomfilter_multithread_spark.operators.textstats import (
         duckdb_bm25_sql,
+        duckdb_gopher_rules_sql,
         duckdb_lang_id,
         duckdb_quality_bp,
         duckdb_repetition_sql,
         duckdb_tfidf_topk_sql,
         duckdb_unigram_nll_sql,
     )
+    from bloomfilter_multithread_spark.operators.dedup import duckdb_line_dedup_sql
 
     sh_cte = duckdb_shingles_cte("documents", "doc_id", "text", 5)
     doc_bucket = duckdb_hash_bucket_sql("doc_id", seed="s1")
@@ -3305,6 +3335,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": duckdb_bm25_sql("documents", _BM25_TERMS),
         "tfidf_topk": duckdb_tfidf_topk_sql("documents", _TFIDF_QUERIES, 10),
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
+        "gopher_rules": duckdb_gopher_rules_sql("documents"),
+        "line_dedup": duckdb_line_dedup_sql("documents"),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

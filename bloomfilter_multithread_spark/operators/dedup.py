@@ -57,6 +57,92 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def line_dedup_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", line_tokens: int = 10,
+                     min_count: int = 3) -> DataFrame:
+    """C4-style LINE-level dedup accounting (Raffel et al. 2020 §2.2:
+    "we discarded any line that occurred more than [twice] in the data
+    set") — the sub-document twin of ``exact_duplicates``, which only
+    sees whole documents. "Lines" on this corpus (single-line synthetic
+    text) are deterministic non-overlapping ``line_tokens``-token units;
+    on real data pass the newline-split exploded frame instead — the
+    counting/join core is unit-agnostic.
+
+    Per document: (n_lines, n_dup_lines, n_kept_lines) where a line is
+    DUP iff its corpus-wide occurrence count >= ``min_count``.
+
+    Scale shape: the unit explode is a narrow JVM transformation
+    (sequence + slice + array_join, no Python); unit text is collapsed
+    to md5 BEFORE any exchange, so the corpus-wide count groupBy
+    (map-side combined) and the count⋈lines equi-join both carry
+    (id, 16-byte digest) rows only. Same two-exchange budget at any
+    corpus size; the hot keys are exactly the boilerplate lines the
+    operator exists to find, and they arrive pre-combined per map task.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    starts = toks.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(line_tokens)
+            )
+        ).alias("_s"),
+    )
+    n_line = F.least(F.lit(line_tokens), F.col("_n") - F.col("_s"))
+    lines = starts.select(
+        id_col,
+        F.md5(
+            F.array_join(F.slice(F.col("_toks"), F.col("_s") + 1, n_line), " ")
+        ).alias("_h"),
+    )
+    counts = lines.groupBy("_h").agg(F.count("*").cast("long").alias("_cnt"))
+    dup = F.col("_cnt") >= F.lit(min_count)
+    return (
+        lines.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(dup.cast("long")).cast("long").alias("n_dup_lines"),
+            F.sum((~dup).cast("long")).cast("long").alias("n_kept_lines"),
+        )
+    )
+
+
+def duckdb_line_dedup_sql(table: str, id_col: str = "doc_id",
+                          text_col: str = "text", line_tokens: int = 10,
+                          min_count: int = 3) -> str:
+    """Exact mirror of :func:`line_dedup_stats` (1-based inclusive list
+    slicing on both engines — the ``chunk_sliding`` oracle idiom)."""
+    k = line_tokens
+    return f"""
+        WITH t AS (
+            SELECT {id_col},
+                   regexp_split_to_array(trim({text_col}), '\\s+') AS toks,
+                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n
+            FROM {table}
+        ),
+        l AS (
+            SELECT {id_col},
+                   md5(array_to_string(
+                       toks[(g.s + 1):(g.s + LEAST({k}, n - g.s))], ' ')) AS h
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(0, greatest(n - 1, 0), {k})) AS s) g
+        ),
+        c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM l GROUP BY h)
+        SELECT {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN cnt >= {min_count} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_lines,
+               CAST(SUM(CASE WHEN cnt < {min_count} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept_lines
+        FROM l JOIN c USING (h) GROUP BY {id_col}
+    """
+
+
 # ---------------------------------------------------------------- minhash
 
 

@@ -154,6 +154,95 @@ def duckdb_quality_bp(table: str, id_col: str = "doc_id", text_col: str = "text"
     """
 
 
+# ------------------------------------------------------- Gopher rules
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    Appendix A.1.1) as per-document boolean flags plus the combined
+    ``keep`` verdict — the named rule-based filter every later corpus
+    (RefinedWeb, Dolma, FineWeb) re-derives:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]    — tested as 3*n <= sum_len <= 10*n
+    - symbol-to-word ratio <= 0.1    — symbols = '#' chars + '...' runs,
+                                       tested as 10*symbols <= n
+    - >= 80% of words contain an alphabetic character
+                                     — tested as 5*alpha_words >= 4*n
+    - >= 2 stop-word hits (the package's stop lists, all languages)
+
+    Every ratio threshold is cross-multiplied into INTEGER form, so the
+    flags are exact and the SQL mirror is hash-identical (no float
+    boundary can disagree). One narrow map — no shuffle, no UDF; all
+    expressions are JVM codegen (split / filter / regexp_count)."""
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.size(toks).cast("long")
+    sum_len = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("long")
+    n_hash = (F.length(c) - F.length(F.regexp_replace(c, r"#", ""))).cast("long")
+    n_ell = F.regexp_count(c, F.lit(r"\.\.\.")).cast("long")
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    stop_hits = sum(
+        (stopword_hits(c, lg) for lg in LANGS), F.lit(0).cast("long")
+    )
+    ok_count = (n >= F.lit(min_words)) & (n <= F.lit(max_words))
+    ok_mean_len = (F.lit(3) * n <= sum_len) & (sum_len <= F.lit(10) * n)
+    ok_symbols = F.lit(10) * (n_hash + n_ell) <= n
+    ok_alpha = F.lit(5) * alpha_words >= F.lit(4) * n
+    ok_stop = stop_hits >= F.lit(2)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        ok_count.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_count & ok_mean_len & ok_symbols & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def duckdb_gopher_rules_sql(table: str, id_col: str = "doc_id",
+                            text_col: str = "text", min_words: int = 50,
+                            max_words: int = 100_000) -> str:
+    """Exact mirror of :func:`gopher_rules` — same integer
+    cross-multiplied thresholds, same tokenization idiom."""
+    hits = " + ".join(_ddb_stop_hits(lg) for lg in LANGS)
+    return f"""
+        WITH x AS (
+            SELECT {id_col},
+                   regexp_split_to_array(trim({text_col}), '\\s+') AS t,
+                   CAST(len(regexp_split_to_array(trim({text_col}), '\\s+'))
+                        AS BIGINT) AS n,
+                   CAST(length(regexp_replace(trim({text_col}), '\\s+', '', 'g'))
+                        AS BIGINT) AS sum_len,
+                   CAST(length({text_col})
+                        - length(replace({text_col}, '#', '')) AS BIGINT) AS n_hash,
+                   CAST(len(regexp_extract_all({text_col}, '\\.\\.\\.'))
+                        AS BIGINT) AS n_ell
+            FROM {table}
+        ),
+        y AS (
+            SELECT {id_col}, n,
+                   (n >= {min_words} AND n <= {max_words}) AS ok_word_count,
+                   (3 * n <= sum_len AND sum_len <= 10 * n) AS ok_mean_word_len,
+                   (10 * (n_hash + n_ell) <= n) AS ok_symbol_ratio,
+                   (5 * CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                             AS BIGINT) >= 4 * n) AS ok_alpha_words,
+                   (({hits}) >= 2) AS ok_stopwords
+            FROM x
+        )
+        SELECT {id_col}, n AS n_words, ok_word_count, ok_mean_word_len,
+               ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+               (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                AND ok_alpha_words AND ok_stopwords) AS keep
+        FROM y
+    """
+
+
 # ---------------------------------------------------------------- bm25
 
 def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",

@@ -135,3 +135,79 @@ class TestUnigramNLL:
         margin, n = con.sql(q).fetchone()
         assert n > 1000
         assert margin >= 1e-6, f"NLL contribution within {margin} of a boundary"
+
+
+# ------------------------------------------------------- Gopher rules
+
+
+def test_gopher_rules_each_rule_isolated(spark):
+    from bloomfilter_multithread_spark.operators.textstats import gopher_rules
+
+    stop60 = " ".join(["the fast key order sort"] * 12)  # 60 words, stopwords, len 3-5
+    docs = [
+        (0, stop60),                                # passes everything
+        (1, "the fast key"),                        # fails word count only
+        (2, " ".join(["a"] * 60)),                  # mean word len 1 < 3
+        (3, " ".join(["### ..."] * 30) + " " + stop60),  # symbol ratio + alpha
+        (4, " ".join(["zzzqx wvvkj"] * 30)),        # no stopword hits
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert got[0]["keep"] is True and all(
+        got[0][c] for c in got[0] if c.startswith("ok_")
+    )
+    assert got[1]["ok_word_count"] is False
+    assert got[2]["ok_mean_word_len"] is False
+    assert got[3]["ok_symbol_ratio"] is False
+    assert got[4]["ok_stopwords"] is False and got[4]["ok_alpha_words"] is True
+    assert all(not got[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_gopher_mean_len_integer_boundary(spark):
+    """3n <= sum_len <= 10n is EXACT at the boundary: 60 words of mean
+    exactly 3.0 pass; one char less fails — no float epsilon anywhere."""
+    from bloomfilter_multithread_spark.operators.textstats import gopher_rules
+
+    exactly3 = " ".join(["the"] * 60)               # sum_len = 180 = 3n
+    just_under = " ".join(["the"] * 59 + ["th"])    # sum_len = 179 < 3n
+    df = spark.createDataFrame(
+        [(0, exactly3), (1, just_under)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["ok_mean_word_len"] for r in gopher_rules(df).collect()}
+    assert got == {0: True, 1: False}
+
+
+# ------------------------------------------------------- C4 line dedup
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    from bloomfilter_multithread_spark.operators.dedup import line_dedup_stats
+
+    boiler = "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10"  # one exact 10-token unit
+    docs = [
+        (0, boiler + " u01 u02 u03 u04 u05 u06 u07 u08 u09 u10"),
+        (1, boiler + " v01 v02 v03"),
+        (2, boiler),                       # third occurrence -> count 3 = dup
+        (3, "w01 w02 w03 w04 w05"),        # < 10 tokens: one short unique line
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dup_lines"], r["n_kept_lines"])
+        for r in line_dedup_stats(df, line_tokens=10, min_count=3).collect()
+    }
+    assert got == {0: (2, 1, 1), 1: (2, 1, 1), 2: (1, 1, 0), 3: (1, 0, 1)}
+
+
+def test_line_dedup_exchanges_carry_digests_only(spark):
+    """No exchange ships line text: every Exchange row is (id, md5) /
+    (md5, count) shaped — the text column never leaves the map side."""
+    from bloomfilter_multithread_spark.operators.dedup import line_dedup_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    plan = (
+        line_dedup_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex, ex
