@@ -26,10 +26,12 @@ tiebreak column such as the row id) — otherwise ranks of tied rows are
 partition-placement-dependent.  With a total order the result is a
 deterministic permutation: any engine, any parallelism, any retry.
 
-Reference analog: the ordered result-merge loop
-(/root/reference/src/main.cpp:62-70) assembles per-worker outputs in a
-fixed global order; ``global_rank`` is that assembly step as a
-distributed operator instead of a driver loop.
+Reference analog: the positioned result-assembly loop
+(/root/reference/src/main.cpp:163-212) — the main thread drains each
+worker's answer FIFO and writes every ``KmerAnswer`` into its correct
+slot of the global output bitvector; ``global_rank`` is that
+"per-worker partials + global positions" step as a distributed
+operator instead of a driver loop.
 
 Pipeline consumers in this package: CCNet-style perplexity tiering
 (head/middle/tail thirds over the unigram-NLL score — Wenzek et al.
