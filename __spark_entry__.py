@@ -1524,6 +1524,56 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_stats(docs)
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span geometry (Lee et al. 2022
+    ExactSubstr, suffix-array semantics re-expressed as dup-k-gram
+    position marking + per-doc interval merge). Digests computed before
+    every exchange; all values integer (basis points for the keep
+    fraction)."""
+    from bloomfilter_multithread_spark.operators.substring import dup_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_span_stats(docs, k=10)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear bag-of-words quality classifier
+    (CCNet/GPT-3 'quality filter' stage): token -> md5 bucket ->
+    integer weight, doc score = exact integer sum. The fixed-size
+    (4096-row) bucket table is BROADCAST — the deliberate opposite of
+    `unigram_nll`'s open-vocabulary shuffle join."""
+    from bloomfilter_multithread_spark.operators.selection import (
+        hashed_classifier_scores,
+        seeded_weights,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_classifier_scores(docs, seeded_weights(spark))
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    features, per-bucket micro-rounded log-likelihood ratio of the
+    lang='en' target slice vs the raw corpus, per-doc integer weight
+    sum, deterministic top-25% selection via the distributed
+    global_rank (no Exchange SinglePartition)."""
+    from bloomfilter_multithread_spark.operators.selection import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_weights(docs, "lang = 'en'")
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy as a repetition/diversity
+    quality signal — ONE narrow higher-order-function projection, zero
+    exchanges (plan-asserted in tests/test_selection.py); fixed-point
+    micro form so DuckDB matches bit-for-bit."""
+    from bloomfilter_multithread_spark.operators.selection import token_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -2959,7 +3009,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `ann_topk_lsh` rounds-2+3 driver-green — all unchanged since) were
     rotated to the tail to make room for the late round-4 additions
     `nll_buckets`, `epoch_shuffle`, `e2e_pipeline`, `gopher_rules` and
-    `line_dedup`."""
+    `line_dedup`; finally `fingerprint` / `multimodal_frames` /
+    `transcript_seen_text` / `transcript_latency_quantiles` (each
+    driver-green in rounds 1 AND 2, unchanged since) were rotated to
+    the tail for the selection-family additions `dup_spans`,
+    `quality_classifier`, `dsir_select` and `token_entropy`.
+    `multimodal_features` and `incremental_neardup` stay in the window
+    despite earlier driver rows because their behavior changed this
+    round (rows-only -> hash-exact oracle; build/probe state split)."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -2986,13 +3043,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": _q_stream_static_join,
         "token_count_real": _q_token_count_real,
         "compact_files": _q_compact_files,
-        "fingerprint": _q_fingerprint,
-        "multimodal_frames": _q_multimodal_frames,
+        "dup_spans": _q_dup_spans,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_select": _q_dsir_select,
+        "token_entropy": _q_token_entropy,
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
-        "transcript_seen_text": _q_transcript_seen_text,
         "gopher_rules": _q_gopher_rules,
-        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "minimizer_windows": _q_minimizer_windows,
         "supershingle_segments": _q_supershingle_segments,
         "sessionize_tool_runs": _q_sessionize_tool_runs,
@@ -3061,7 +3118,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_setops": _q_kmv_setops,
         "transcript_hll_convs": _q_transcript_hll_convs,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "fingerprint": _q_fingerprint,
+        "multimodal_frames": _q_multimodal_frames,
+        "transcript_seen_text": _q_transcript_seen_text,
+        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
     }
+
+
+def _dup_spans_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.substring import duckdb_dup_span_sql
+
+    return duckdb_dup_span_sql("documents", k=10)
+
+
+def _quality_classifier_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.selection import duckdb_classifier_sql
+
+    return duckdb_classifier_sql("documents")
+
+
+def _dsir_select_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.selection import duckdb_dsir_sql
+
+    return duckdb_dsir_sql("documents", "lang = 'en'")
+
+
+def _token_entropy_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.selection import (
+        duckdb_token_entropy_sql,
+    )
+
+    return duckdb_token_entropy_sql("documents")
 
 
 def _token_count_real_oracle_sql() -> str:
@@ -3337,6 +3424,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_nll": duckdb_unigram_nll_sql("documents"),
         "gopher_rules": duckdb_gopher_rules_sql("documents"),
         "line_dedup": duckdb_line_dedup_sql("documents"),
+        "dup_spans": _dup_spans_oracle_sql(),
+        "quality_classifier": _quality_classifier_oracle_sql(),
+        "dsir_select": _dsir_select_oracle_sql(),
+        "token_entropy": _token_entropy_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""
