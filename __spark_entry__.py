@@ -1574,6 +1574,20 @@ def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(docs)
 
 
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixture (XLM-R §3.1 / mT5
+    alpha=0.5 sampling): per-lang quotas proportional to sqrt(count)
+    (up-weighting low-resource langs), largest-remainder apportioned to
+    exactly 40% of the corpus, rows drawn by the shared md5 hash order.
+    sqrt is IEEE-correctly-rounded so even the apportionment is
+    bit-exact cross-engine (integer arithmetic after the micro-rounded
+    weight)."""
+    from bloomfilter_multithread_spark.operators.sampling import temperature_mixture
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "doc_id", "lang")
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3016,7 +3030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `quality_classifier`, `dsir_select` and `token_entropy`.
     `multimodal_features` and `incremental_neardup` stay in the window
     despite earlier driver rows because their behavior changed this
-    round (rows-only -> hash-exact oracle; build/probe state split)."""
+    round (rows-only -> hash-exact oracle; build/probe state split).
+    `bloom_fpr` (rounds 1+2 driver-green, unchanged) rotated to the
+    tail for `temperature_mixture`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -3056,7 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
-        "bloom_fpr": _q_bloom_fpr,
+        "temperature_mixture": _q_temperature_mixture,
         "nll_buckets": _q_nll_buckets,
         "epoch_shuffle": _q_epoch_shuffle,
         "semantic_dedup": _q_semantic_dedup,
@@ -3122,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "transcript_seen_text": _q_transcript_seen_text,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
+        "bloom_fpr": _q_bloom_fpr,
     }
 
 
@@ -3149,6 +3166,14 @@ def _token_entropy_oracle_sql() -> str:
     )
 
     return duckdb_token_entropy_sql("documents")
+
+
+def _temperature_mixture_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.sampling import (
+        duckdb_temperature_mixture_sql,
+    )
+
+    return duckdb_temperature_mixture_sql("documents", "doc_id", "lang")
 
 
 def _token_count_real_oracle_sql() -> str:
@@ -3428,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_oracle_sql(),
         "dsir_select": _dsir_select_oracle_sql(),
         "token_entropy": _token_entropy_oracle_sql(),
+        "temperature_mixture": _temperature_mixture_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

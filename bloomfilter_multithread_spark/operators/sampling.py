@@ -313,3 +313,115 @@ def duckdb_mixture_sample_sql(table: str, key: str, group: str,
             FROM {table})
         WHERE sample_rank <= (CASE {group} {case} ELSE 0 END)
     """
+
+
+def temperature_mixture(df: DataFrame, key: Column | str, group: Column | str,
+                        total_frac_bp: int = 4000, seed: str = "") -> DataFrame:
+    """Temperature-scaled multilingual/multi-source mixture (the XLM-R
+    §3.1 / mT5 alpha-sampling rule at alpha = 0.5): per-group quotas
+    proportional to count^alpha — up-weighting small sources relative to
+    raw proportions — apportioned by largest remainder to an exact total
+    of ``total_frac_bp`` basis points of the corpus, then the rows are
+    drawn by the module's shared md5 hash order (nested, coordinated,
+    retry-invariant like every sampler here).
+
+    Why alpha = 0.5 exactly: the group weight is ``floor(sqrt(c)*1e6
+    + 0.5)`` and IEEE 754 requires sqrt to be correctly rounded, so the
+    micro-rounded weights are bit-identical on ANY engine; from there
+    everything is integer arithmetic (base = total*w div S, remainders
+    compared exactly), making the full apportionment — not just the row
+    draw — cross-engine exact.  Other alphas would ride on ``pow``,
+    which the standards leave a few ulp of slack.
+
+    The quota computation runs on the per-group COUNTS frame (#groups
+    rows): its single-partition window is over that tiny side only —
+    the same sanctioned shape as ``priority_sample``'s tau window — and
+    the resulting quota table broadcasts back onto the per-group ranked
+    corpus (one hash shuffle on ``group``, same as
+    :func:`mixture_sample`).
+
+    Returns the sampled rows as (key, group, quota, sample_rank)."""
+    if not 0 <= total_frac_bp <= 10000:
+        raise ValueError("total_frac_bp in [0, 10000]")
+    gc = F.col(group) if isinstance(group, str) else group
+    kc = F.col(key) if isinstance(key, str) else key
+
+    counts = df.groupBy(gc.alias("_g")).agg(F.count("*").cast("long").alias("_c"))
+    tiny = Window.partitionBy()  # #groups rows only
+    q = (
+        counts
+        .withColumn("_w", F.floor(F.sqrt(F.col("_c")) * F.lit(1e6) + F.lit(0.5))
+                    .cast("long"))
+        .withColumn("_s", F.sum("_w").over(tiny))
+        .withColumn("_n", F.sum("_c").over(tiny))
+        .withColumn("_total", F.expr(f"_n * {total_frac_bp}L div 10000L"))
+        .withColumn("_base", F.expr("_total * _w div _s"))
+        .withColumn("_rem", F.expr("_total * _w - _base * _s"))
+        .withColumn("_left", F.col("_total") - F.sum("_base").over(tiny))
+        .withColumn(
+            "_rr",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("_rem"), F.asc("_g"))
+            ).cast("long"),
+        )
+        .select(
+            F.col("_g"),
+            (F.col("_base")
+             + F.when(F.col("_rr") <= F.col("_left"), 1).otherwise(0))
+            .cast("long").alias("quota"),
+        )
+    )
+    h = md5_hash_col(F.concat(F.col("key").cast("string"), F.lit(seed)))
+    w = Window.partitionBy("grp").orderBy(h.asc(), F.col("key").asc())
+    return (
+        df.select(kc.alias("key"), gc.alias("grp"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(q), F.col("grp") == F.col("_g"))
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select("key", "grp", "quota", "sample_rank")
+    )
+
+
+def duckdb_temperature_mixture_sql(table: str, key: str, group: str,
+                                   total_frac_bp: int = 4000,
+                                   seed: str = "") -> str:
+    """Exact mirror of :func:`temperature_mixture`: same micro-rounded
+    sqrt weights, same integer largest-remainder apportionment, same md5
+    row order."""
+    h = f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '{seed}'), 1, 8))::BIGINT"
+    return f"""
+        WITH counts AS (
+            SELECT {group} AS g, CAST(COUNT(*) AS BIGINT) AS c
+            FROM {table} GROUP BY {group}
+        ),
+        wts AS (
+            SELECT g, c, CAST(FLOOR(sqrt(c) * 1e6 + 0.5) AS BIGINT) AS w
+            FROM counts
+        ),
+        tot AS (
+            SELECT SUM(w) AS s, SUM(c) * {total_frac_bp} // 10000 AS total
+            FROM wts
+        ),
+        base AS (
+            SELECT g, w, total * w // s AS base, total * w - (total * w // s) * s AS rem
+            FROM wts, tot
+        ),
+        quota AS (
+            SELECT g,
+                   CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, g)
+                                         <= (SELECT total FROM tot)
+                                            - (SELECT SUM(base) FROM base)
+                               THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM base
+        ),
+        ranked AS (
+            SELECT {key} AS key, {group} AS grp,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {group} ORDER BY {h}, {key}) AS BIGINT)
+                     AS sample_rank
+            FROM {table}
+        )
+        SELECT key, grp, quota, sample_rank
+        FROM ranked JOIN quota ON grp = g
+        WHERE sample_rank <= quota
+    """

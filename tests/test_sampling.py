@@ -403,3 +403,65 @@ class TestMixtureSample:
         g = group_sample_topk(docs, "doc_id", "source", n=4, seed="z")
         assert sorted(map(tuple, m.select("doc_id", "sample_rank").collect())) == \
             sorted(map(tuple, g.select("doc_id", "sample_rank").collect()))
+
+
+class TestTemperatureMixture:
+    def test_quotas_sum_to_exact_budget(self, docs):
+        from bloomfilter_multithread_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        out = temperature_mixture(docs, "doc_id", "lang", total_frac_bp=4000)
+        n = docs.count()
+        assert out.count() == n * 4000 // 10000  # largest remainder is exact
+        # quota column is consistent: per group, rows == min(quota, group size)
+        per = {r["grp"]: (r["q"], r["rows"]) for r in
+               out.groupBy("grp").agg(F.first("quota").alias("q"),
+                                      F.count("*").alias("rows")).collect()}
+        sizes = {r["lang"]: r["c"] for r in
+                 docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        for g, (q, rows) in per.items():
+            assert rows == min(q, sizes[g])
+
+    def test_upweights_low_resource_groups(self, docs):
+        """alpha=0.5 moves sample shares toward uniform: the largest
+        group's sampled share is LESS than its raw share, the smallest
+        group's is MORE (the whole point of temperature sampling)."""
+        from bloomfilter_multithread_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        out = temperature_mixture(docs, "doc_id", "lang", total_frac_bp=4000)
+        total = out.count()
+        n = docs.count()
+        raw = {r["lang"]: r["c"] / n for r in
+               docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        samp = {r["grp"]: r["c"] / total for r in
+                out.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+        big = max(raw, key=raw.get)
+        small = min(raw, key=raw.get)
+        assert raw[big] > raw[small]  # the fixture is actually skewed
+        assert samp[big] < raw[big]
+        assert samp[small] > raw[small]
+
+    def test_nested_in_budget(self, docs):
+        """A bigger budget EXTENDS each group's sample (same hash order
+        prefix) — mixture re-weighting preserves sample overlap."""
+        from bloomfilter_multithread_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        a = set(_ids(temperature_mixture(docs, "doc_id", "lang", 2000), "key"))
+        b = set(_ids(temperature_mixture(docs, "doc_id", "lang", 4000), "key"))
+        assert a < b
+
+    def test_uniform_groups_get_equal_quotas(self, docs):
+        """On the uniform `source` column every quota is identical —
+        temperature scaling of a flat distribution is a no-op."""
+        from bloomfilter_multithread_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        out = temperature_mixture(docs, "doc_id", "source", total_frac_bp=4000)
+        quotas = {r["quota"] for r in out.select("quota").distinct().collect()}
+        assert len(quotas) == 1
