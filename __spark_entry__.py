@@ -1588,6 +1588,23 @@ def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "lang")
 
 
+def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (the multilingual analog of the
+    reference's canonical k-mer orientation, SURVEY §2 P5): synthesized
+    genuinely-decomposed strings (closed-form over doc_id — combining
+    marks, NFC singletons, ASCII controls) normalized by an
+    Arrow-batched pandas UDF; the oracle rebuilds the same strings in
+    SQL and normalizes with DuckDB's utf8proc nfc_normalize — code-point
+    counts, changed flags and canonical-form digests all hash-exact."""
+    from bloomfilter_multithread_spark.operators.unitext import (
+        nfc_stats,
+        synth_decomposed_text,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return nfc_stats(synth_decomposed_text(docs))
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3032,7 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     despite earlier driver rows because their behavior changed this
     round (rows-only -> hash-exact oracle; build/probe state split).
     `bloom_fpr` (rounds 1+2 driver-green, unchanged) rotated to the
-    tail for `temperature_mixture`."""
+    tail for `temperature_mixture`; `minimizer_windows` (round-2
+    driver-green, unchanged) rotated to the tail for `unicode_nfc`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -3066,7 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_decode": _q_multimodal_decode,
         "gopher_rules": _q_gopher_rules,
-        "minimizer_windows": _q_minimizer_windows,
+        "unicode_nfc": _q_unicode_nfc,
         "supershingle_segments": _q_supershingle_segments,
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
@@ -3139,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_seen_text": _q_transcript_seen_text,
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "bloom_fpr": _q_bloom_fpr,
+        "minimizer_windows": _q_minimizer_windows,
     }
 
 
@@ -3174,6 +3193,12 @@ def _temperature_mixture_oracle_sql() -> str:
     )
 
     return duckdb_temperature_mixture_sql("documents", "doc_id", "lang")
+
+
+def _unicode_nfc_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.unitext import duckdb_nfc_stats_sql
+
+    return duckdb_nfc_stats_sql("documents")
 
 
 def _token_count_real_oracle_sql() -> str:
@@ -3454,6 +3479,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _dsir_select_oracle_sql(),
         "token_entropy": _token_entropy_oracle_sql(),
         "temperature_mixture": _temperature_mixture_oracle_sql(),
+        "unicode_nfc": _unicode_nfc_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""
