@@ -340,6 +340,12 @@ def temperature_mixture(df: DataFrame, key: Column | str, group: Column | str,
     corpus (one hash shuffle on ``group``, same as
     :func:`mixture_sample`).
 
+    The QUOTAS always sum to exactly the budget; the drawn row count
+    can fall short only if temperature up-weighting assigns some tiny
+    group a quota larger than the group itself (each group then yields
+    min(quota, size) rows) — at alpha = 0.5 that needs an extreme
+    size ratio relative to the budget fraction.
+
     Returns the sampled rows as (key, group, quota, sample_rank)."""
     if not 0 <= total_frac_bp <= 10000:
         raise ValueError("total_frac_bp in [0, 10000]")
