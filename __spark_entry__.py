@@ -1605,6 +1605,19 @@ def _q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nfc_stats(synth_decomposed_text(docs))
 
 
+def _q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user activity (the "trending" aggregate,
+    1-day halflife): one map-side-combinable groupBy; per-event decay is
+    a codegen expression over integer epoch seconds, contributions
+    micro-rounded before the integer sum (BM25 idiom). Oracle floors
+    epoch(ts) explicitly — DuckDB's BIGINT cast rounds sub-second
+    fractions where unix_timestamp truncates."""
+    from bloomfilter_multithread_spark.operators.decay import decayed_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return decayed_counts(ev, "user_id")
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3050,7 +3063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round (rows-only -> hash-exact oracle; build/probe state split).
     `bloom_fpr` (rounds 1+2 driver-green, unchanged) rotated to the
     tail for `temperature_mixture`; `minimizer_windows` (round-2
-    driver-green, unchanged) rotated to the tail for `unicode_nfc`."""
+    driver-green, unchanged) rotated to the tail for `unicode_nfc`;
+    `supershingle_segments` (round-2 driver-green, unchanged) rotated
+    to the tail for `decayed_counts`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -3085,7 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "gopher_rules": _q_gopher_rules,
         "unicode_nfc": _q_unicode_nfc,
-        "supershingle_segments": _q_supershingle_segments,
+        "decayed_counts": _q_decayed_counts,
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
@@ -3158,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_latency_quantiles": _q_transcript_latency_quantiles,
         "bloom_fpr": _q_bloom_fpr,
         "minimizer_windows": _q_minimizer_windows,
+        "supershingle_segments": _q_supershingle_segments,
     }
 
 
@@ -3199,6 +3215,14 @@ def _unicode_nfc_oracle_sql() -> str:
     from bloomfilter_multithread_spark.operators.unitext import duckdb_nfc_stats_sql
 
     return duckdb_nfc_stats_sql("documents")
+
+
+def _decayed_counts_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.decay import (
+        duckdb_decayed_counts_sql,
+    )
+
+    return duckdb_decayed_counts_sql("events", "user_id")
 
 
 def _token_count_real_oracle_sql() -> str:
@@ -3480,6 +3504,7 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _token_entropy_oracle_sql(),
         "temperature_mixture": _temperature_mixture_oracle_sql(),
         "unicode_nfc": _unicode_nfc_oracle_sql(),
+        "decayed_counts": _decayed_counts_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""
