@@ -1618,6 +1618,39 @@ def _q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_counts(ev, "user_id")
 
 
+def _q_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 via the HDR histogram (deterministic
+    integer bucket mapping, sub_bits=5 -> 3.1% worst relative error) —
+    the only quantile query whose ESTIMATES are hash-exact in the oracle
+    (KLL/t-digest are randomized and can only be bound-checked). The
+    '*all*' row is the sketch-path witness: its three estimates are
+    literals decoded from the mapInArrow-built, partition-merged
+    HDRSketch, and the oracle recomputes them from raw values — any
+    build/merge/decode bug is a driver-visible hash mismatch. Shape at
+    scale: the one exchange carries at most n_groups x ~1.2k histogram
+    rows regardless of input size (plan-asserted in
+    tests/test_hdrquantiles.py)."""
+    from bloomfilter_multithread_spark.operators.build import (
+        SketchSpec,
+        build_sketches,
+    )
+    from bloomfilter_multithread_spark.operators.hdrquantiles import hdr_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    per_type = hdr_quantiles(ev, "value", "event_type")
+    sk = build_sketches(
+        ev, [SketchSpec("h", "hdr", "value", {"sub_bits": 5, "unit_scale": 1000})]
+    )["h"]
+    all_row = spark.range(1).select(
+        F.lit("*all*").alias("event_type"),
+        F.lit(sk.n_total).cast("long").alias("n_events"),
+        F.lit(sk.quantile_frac(1, 2)).cast("long").alias("p50_units"),
+        F.lit(sk.quantile_frac(19, 20)).cast("long").alias("p95_units"),
+        F.lit(sk.quantile_frac(99, 100)).cast("long").alias("p99_units"),
+    )
+    return per_type.unionByName(all_row)
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3065,7 +3098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail for `temperature_mixture`; `minimizer_windows` (round-2
     driver-green, unchanged) rotated to the tail for `unicode_nfc`;
     `supershingle_segments` (round-2 driver-green, unchanged) rotated
-    to the tail for `decayed_counts`."""
+    to the tail for `decayed_counts`; `sessionize_tool_runs` (round-2
+    driver-green, unchanged) rotated to the tail for
+    `hdr_latency_quantiles`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -3101,7 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "unicode_nfc": _q_unicode_nfc,
         "decayed_counts": _q_decayed_counts,
-        "sessionize_tool_runs": _q_sessionize_tool_runs,
+        "hdr_latency_quantiles": _q_hdr_latency_quantiles,
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
@@ -3174,7 +3209,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr": _q_bloom_fpr,
         "minimizer_windows": _q_minimizer_windows,
         "supershingle_segments": _q_supershingle_segments,
+        "sessionize_tool_runs": _q_sessionize_tool_runs,
     }
+
+
+def _hdr_latency_quantiles_oracle_sql() -> str:
+    """Per-type rows AND the '*all*' sketch-witness row are replayed
+    from raw values with the same integer bucket mapping — the sketch's
+    estimates are literals in the Spark result, so a build/merge/decode
+    bug is a hash mismatch here, not just a failed unit test."""
+    from bloomfilter_multithread_spark.operators.hdrquantiles import (
+        duckdb_hdr_quantiles_sql,
+    )
+
+    per_type = duckdb_hdr_quantiles_sql("events", "value", "event_type")
+    all_rows = duckdb_hdr_quantiles_sql(
+        "(SELECT '*all*' AS event_type, value FROM events) evall",
+        "value",
+        "event_type",
+    )
+    return f"SELECT * FROM ({per_type}) UNION ALL SELECT * FROM ({all_rows})"
 
 
 def _dup_spans_oracle_sql() -> str:
@@ -3505,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": _temperature_mixture_oracle_sql(),
         "unicode_nfc": _unicode_nfc_oracle_sql(),
         "decayed_counts": _decayed_counts_oracle_sql(),
+        "hdr_latency_quantiles": _hdr_latency_quantiles_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

@@ -56,12 +56,12 @@ class SketchSpec:
     it is passed through instead of being re-hashed."""
 
     name: str
-    kind: str  # bloom | cbf | hll | kmv | cms | mg | ams | kll | tdigest
+    kind: str  # bloom | cbf | hll | kmv | cms | mg | ams | kll | tdigest | hdr
     column: str | Column  # input column / SQL expression string
     params: dict = field(default_factory=dict)
     pre_hashed: bool = False
 
-    VALUE_KINDS = ("kll", "tdigest")
+    VALUE_KINDS = ("kll", "tdigest", "hdr")
 
     @property
     def is_value(self) -> bool:

@@ -6,6 +6,7 @@ from .bloom import BloomSketch, ReferenceBloom, optimal_params
 from .cbf import CBFSketch
 from .cms import CMSSketch
 from .hashing import double_hash_indices, splitmix64, to_u64, xorshift32_batch, xorshift32_scalar
+from .hdr import HDRSketch
 from .hll import HLLSketch
 from .kll import KLLSketch
 from .kmv import KMVSketch
@@ -22,6 +23,7 @@ __all__ = [
     "optimal_params",
     "CBFSketch",
     "CMSSketch",
+    "HDRSketch",
     "HLLSketch",
     "KLLSketch",
     "KMVSketch",
