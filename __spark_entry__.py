@@ -1651,6 +1651,54 @@ def _q_hdr_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(all_row)
 
 
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonical orientation (the web corpus's canonical-k-mer rule,
+    SkmerExtractor.cpp:59-90 analog): synth messy URLs from doc_id
+    (closed form — the oracle rebuilds identical inputs), canonicalize
+    (lowercase, fragment/default-port/www/tracking-param strip, param
+    sort) in a ZERO-exchange codegen projection (plan-asserted in
+    tests/test_urls.py), extract registered domains, aggregate per
+    domain. The n_canonical < n_docs gap is the dedup fragmentation
+    canonicalization repairs."""
+    from bloomfilter_multithread_spark.operators.urls import (
+        canonicalize_urls,
+        synth_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        canonicalize_urls(synth_urls(docs))
+        .groupBy("registered_domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("canonical_url").cast("long").alias("n_canonical"),
+            F.sum(
+                (F.contains("url", F.lit("utm_"))
+                 | F.contains("url", F.lit("fbclid="))).cast("long")
+            ).alias("n_tracking"),
+            F.min("canonical_url").alias("sample_url"),
+        )
+    )
+
+
+def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document budgeting (the C4/Gopher "at most N docs per
+    domain" curation rule): blocklist prefix filter, then the
+    deterministic md5 bottom-k cap via group_sample_topk — one shuffle
+    on domain, hot-domain-safe via the same prethin_cutoff map-side
+    filter the sampler pins. Oracle replays blocklist + ROW_NUMBER over
+    the identical hash order."""
+    from bloomfilter_multithread_spark.operators.urls import (
+        canonicalize_urls,
+        domain_caps,
+        synth_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    c = canonicalize_urls(synth_urls(docs))
+    return domain_caps(c, cap=3, blocklist_prefixes=("site13.",))
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3100,7 +3148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `supershingle_segments` (round-2 driver-green, unchanged) rotated
     to the tail for `decayed_counts`; `sessionize_tool_runs` (round-2
     driver-green, unchanged) rotated to the tail for
-    `hdr_latency_quantiles`."""
+    `hdr_latency_quantiles`; `bloom_salted_skew` and
+    `streaming_seen_text` (each round-2 driver-green, unchanged)
+    rotated to the tail for `url_canonical` and `domain_caps`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -3137,8 +3187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         "decayed_counts": _q_decayed_counts,
         "hdr_latency_quantiles": _q_hdr_latency_quantiles,
-        "bloom_salted_skew": _q_bloom_salted_skew,
-        "streaming_seen_text": _q_streaming_seen_text,
+        "url_canonical": _q_url_canonical,
+        "domain_caps": _q_domain_caps,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         "temperature_mixture": _q_temperature_mixture,
         "nll_buckets": _q_nll_buckets,
@@ -3210,6 +3260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimizer_windows": _q_minimizer_windows,
         "supershingle_segments": _q_supershingle_segments,
         "sessionize_tool_runs": _q_sessionize_tool_runs,
+        "bloom_salted_skew": _q_bloom_salted_skew,
+        "streaming_seen_text": _q_streaming_seen_text,
     }
 
 
@@ -3229,6 +3281,23 @@ def _hdr_latency_quantiles_oracle_sql() -> str:
         "event_type",
     )
     return f"SELECT * FROM ({per_type}) UNION ALL SELECT * FROM ({all_rows})"
+
+
+def _url_canonical_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.urls import (
+        duckdb_url_canonical_sql,
+    )
+
+    return duckdb_url_canonical_sql("documents")
+
+
+def _domain_caps_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.urls import (
+        duckdb_domain_caps_sql,
+    )
+
+    return duckdb_domain_caps_sql("documents", cap=3,
+                                  blocklist_prefixes=("site13.",))
 
 
 def _dup_spans_oracle_sql() -> str:
@@ -3560,6 +3629,8 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _unicode_nfc_oracle_sql(),
         "decayed_counts": _decayed_counts_oracle_sql(),
         "hdr_latency_quantiles": _hdr_latency_quantiles_oracle_sql(),
+        "url_canonical": _url_canonical_oracle_sql(),
+        "domain_caps": _domain_caps_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""
