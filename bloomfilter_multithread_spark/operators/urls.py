@@ -72,14 +72,22 @@ def _hexdigit(h: Column, i: int) -> Column:
 def synth_urls(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, url) with deliberately messy-but-valid URLs: mixed-case
     scheme/host, optional www, default and non-default ports, tracking
-    params in scrambled order, optional fragment."""
+    params in scrambled order, optional fragment.
+
+    The md5 hex digits are materialized as ATTRIBUTES of a first
+    projection stage (not reused ``Column`` trees): the url expression
+    references digits ~30 times across its nested CASEs, and any
+    downstream predicate Catalyst pushes to the scan substitutes the
+    whole chain — with digits as leaf attributes the fully-inlined url
+    stays a few KB instead of compounding (see canonicalize_urls)."""
     d = F.col(id_col)
     h = F.md5(F.concat(d.cast("string"), F.lit("url")))
-    d1, d2, d3 = _hexdigit(h, 1), _hexdigit(h, 2), _hexdigit(h, 3)
-    d4, d5, d6 = _hexdigit(h, 4), _hexdigit(h, 5), _hexdigit(h, 6)
-    d7, d8, d9 = _hexdigit(h, 7), _hexdigit(h, 8), _hexdigit(h, 9)
-    d10, d11, d12 = _hexdigit(h, 10), _hexdigit(h, 11), _hexdigit(h, 12)
-    d13 = _hexdigit(h, 13)
+    staged = df.select(
+        "*", *[_hexdigit(h, i).alias(f"_d{i}") for i in range(1, 14)]
+    )
+    (d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12, d13) = [
+        F.col(f"_d{i}") for i in range(1, 14)
+    ]
 
     https = d1 % 2 == 1
     scheme = (
@@ -120,7 +128,7 @@ def synth_urls(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         scheme, F.lit("://"), www, site, n_site.cast("string"), F.lit("."),
         tld, port, path, F.lit("?"), params, frag,
     )
-    return df.select(d.alias(id_col), url.alias("url"))
+    return staged.select(d.alias(id_col), url.alias("url"))
 
 
 # --------------------------------------------------------------------------
@@ -138,26 +146,49 @@ def _keep_param(x: Column) -> Column:
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``scheme``, ``host``, ``registered_domain``,
     ``canonical_url``. Pure codegen string surgery — plan-asserted
-    exchange-free (tests/test_urls.py)."""
+    exchange-free (tests/test_urls.py).
+
+    Expression-size discipline (measured, not cosmetic). Two failure
+    modes were hit and fixed here:
+
+    1. A Python ``Column`` is an expression TREE, so reusing one
+       (``hostport`` inside ``pathq`` inside ``path``…) copies the
+       whole subtree into every use, and the
+       ``substring(x, length(y)+1)`` idiom references its input TWICE —
+       nested, the first draft was EXPONENTIAL in parse depth (~1 MB
+       analyzed plan; optimizer + codegen time dwarfed the string work:
+       warm ``domain_caps`` 9.6 s at sf0.1). Fix: every component is
+       parsed from its parent with a SINGLE-reference
+       ``regexp_extract``/``substring_index`` (the registered domain is
+       ONE anchored regexp over ``host``, not split/element_at chains),
+       so even the fully-inlined form — which Catalyst is always
+       entitled to build via CollapseProject/pushdown substitution —
+       stays LINEAR in parse depth.
+    2. The tempting alternative, a CHAIN of projections whose
+       intermediates become attributes, plans beautifully in isolation
+       but made the optimizer itself blow up downstream: constraint
+       propagation closes predicates over every alias level, and under
+       ``domain_caps``'s filter + window that closure OOMed the driver
+       at 500 input rows. Hence ONE projection: single-level alias
+       substitution, linear trees — small plans under every consumer.
+
+    Canonical form: lowercase scheme and host, fragment dropped,
+    default port dropped, leading ``www.`` dropped, tracking params
+    removed, surviving params sorted bytewise. The registered-domain
+    regexp's leftmost-match-reaching-``$`` is exactly "last two labels,
+    or three when the last two are a listed multi-part suffix, or the
+    host itself when dot-free"."""
     u = F.col(url_col)
     work = F.substring_index(u, "#", 1)
-    scheme_raw = F.substring_index(work, "://", 1)
-    scheme = F.lower(scheme_raw)
-    rest = F.substring(work, F.length(scheme_raw) + 4, F.lit(1 << 30))
-    hostport = F.lower(F.substring_index(rest, "/", 1))
-    pathq = F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30))
+    scheme = F.lower(F.regexp_extract(work, r"^([^:/?#]*)://", 1))
+    hostport = F.lower(F.regexp_extract(work, r"^[^:/?#]*://([^/?#]*)", 1))
+    pathq = F.regexp_extract(work, r"^[^:/?#]*://[^/?#]*(.*)$", 1)
     path = F.when(pathq == "", F.lit("/")).otherwise(
         F.substring_index(pathq, "?", 1)
     )
-    query = F.when(
-        F.contains(pathq, F.lit("?")),
-        F.substring(pathq, F.length(path) + 2, F.lit(1 << 30)),
-    ).otherwise(F.lit(""))
+    query = F.regexp_extract(pathq, r"[?](.*)$", 1)
     host_full = F.substring_index(hostport, ":", 1)
-    port = F.when(
-        F.contains(hostport, F.lit(":")),
-        F.substring(hostport, F.length(host_full) + 2, F.lit(1 << 30)),
-    ).otherwise(F.lit(""))
+    port = F.regexp_extract(hostport, r":([0-9]*)$", 1)
     host = F.when(
         host_full.startswith("www."),
         F.substring(host_full, 5, F.lit(1 << 30)),
@@ -171,23 +202,12 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     params = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), _keep_param)), "&"
     )
+    suffix_alt = "|".join(sfx.replace(".", r"\.") for sfx in TWO_LEVEL_SUFFIXES)
+    domain_re = rf"([^.]+\.(?:{suffix_alt})|[^.]+\.[^.]+|^[^.]+)$"
+    domain = F.regexp_extract(host, domain_re, 1)
     canonical = F.concat(
         scheme, F.lit("://"), host, portpart, path,
         F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
-    )
-    labels = F.split(host, "[.]")
-    n = F.size(labels)
-    last2 = F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))
-    is_two_level = F.lit(False)
-    for sfx in TWO_LEVEL_SUFFIXES:
-        is_two_level = is_two_level | (last2 == sfx)
-    domain = (
-        F.when(n <= 2, host)
-        .when(
-            is_two_level & (n >= 3),
-            F.concat(F.element_at(labels, -3), F.lit("."), last2),
-        )
-        .otherwise(last2)
     )
     return df.select(
         "*",
@@ -207,16 +227,31 @@ def domain_caps(df: DataFrame, cap: int, domain_col: str = "registered_domain",
     deployment swaps in a broadcast anti-join against a blocklist
     table), then at most ``cap`` docs survive per domain, chosen by the
     deterministic md5 bottom-k order of group_sample_topk. Returns
-    (registered_domain, n_docs, n_kept, min_kept_doc, max_kept_doc)."""
+    (registered_domain, n_docs, n_kept, min_kept_doc, max_kept_doc).
+
+    The filtered (domain, id) projection is PERSISTED before fan-out —
+    deliberately, and not only because two consumers (sampler + totals)
+    read it. Catalyst's constraint propagation closes the blocklist
+    predicate over the url→host→domain derivation chain on BOTH
+    branches and through the window; with ``canonicalize_urls``'s
+    expression trees that closure alone cost ~38 s per execution at
+    500 input rows (driver-side, re-paid on every action) and OOMed a
+    1 GiB driver. The cache is an optimizer barrier: downstream plans
+    see a leaf relation, optimize in milliseconds (measured 38 s →
+    0.5 s), and at 100 TB persisting two narrow columns before a
+    multi-consumer fan-out is the shape you want anyway."""
     from .sampling import group_sample_topk
 
     for p in blocklist_prefixes:
         df = df.where(~F.col(domain_col).startswith(p))
+    base = df.select(domain_col, id_col).persist()
     kept = group_sample_topk(
-        df, key=id_col, group=domain_col, n=cap, seed=seed,
+        base, key=id_col, group=domain_col, n=cap, seed=seed,
         prethin_cutoff=prethin_cutoff,
     )
-    totals = df.groupBy(domain_col).agg(F.count("*").cast("long").alias("n_docs"))
+    totals = base.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
     kept_agg = kept.groupBy(domain_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.min(id_col).cast("long").alias("min_kept_doc"),
