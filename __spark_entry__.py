@@ -1699,6 +1699,32 @@ def _q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_caps(c, cap=3, blocklist_prefixes=("site13.",))
 
 
+def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split (GroupShuffleSplit at corpus
+    scale): every doc of a registered domain lands in the SAME split —
+    the leakage-safe boundary row-hash splits can't give (near-dups
+    cluster within domains). Split membership is a pure function of
+    the domain value (md5 ppm bucket, 80/10/10), so the assignment is
+    a zero-exchange codegen projection: no shuffle, no assignment
+    table, stable under corpus growth (new domains never reassign old
+    ones). Reports per-(split, lang) doc/domain/char accounting; the
+    oracle replays the identical CASE over the identical bucket."""
+    from bloomfilter_multithread_spark.operators.splits import group_split
+    from bloomfilter_multithread_spark.operators.urls import (
+        canonicalize_urls,
+        synth_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    c = canonicalize_urls(synth_urls(docs, keep=("lang", "n_chars")))
+    s = group_split(c, "registered_domain")
+    return s.groupBy("split", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("registered_domain").cast("long").alias("n_domains"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3150,7 +3176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-green, unchanged) rotated to the tail for
     `hdr_latency_quantiles`; `bloom_salted_skew` and
     `streaming_seen_text` (each round-2 driver-green, unchanged)
-    rotated to the tail for `url_canonical` and `domain_caps`."""
+    rotated to the tail for `url_canonical` and `domain_caps`;
+    `checkpoint_resume_seen_text` (round-2 driver-green, unchanged)
+    rotated to the tail for `group_split`."""
     return {
         "topk_orders": _q_topk_orders,
         "bm25_scores": _q_bm25_scores,
@@ -3189,7 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_latency_quantiles": _q_hdr_latency_quantiles,
         "url_canonical": _q_url_canonical,
         "domain_caps": _q_domain_caps,
-        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
+        "group_split": _q_group_split,
         "temperature_mixture": _q_temperature_mixture,
         "nll_buckets": _q_nll_buckets,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -3262,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_tool_runs": _q_sessionize_tool_runs,
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
+        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
     }
 
 
@@ -3298,6 +3327,33 @@ def _domain_caps_oracle_sql() -> str:
 
     return duckdb_domain_caps_sql("documents", cap=3,
                                   blocklist_prefixes=("site13.",))
+
+
+def _group_split_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.splits import (
+        duckdb_group_split_case,
+    )
+    from bloomfilter_multithread_spark.operators.urls import (
+        _duckdb_canonical_exprs,
+        duckdb_synth_urls_sql,
+    )
+
+    case = duckdb_group_split_case("registered_domain")
+    return f"""
+      WITH urls AS ({duckdb_synth_urls_sql("documents")}),
+      {_duckdb_canonical_exprs()},
+      assigned AS (
+        SELECT c.doc_id, c.registered_domain, d.lang, d.n_chars,
+               {case} AS split
+        FROM canonical c JOIN documents d ON c.doc_id = d.doc_id
+      )
+      SELECT split, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT registered_domain) AS BIGINT) AS n_domains,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM assigned
+      GROUP BY split, lang
+    """
 
 
 def _dup_spans_oracle_sql() -> str:
@@ -3631,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_latency_quantiles": _hdr_latency_quantiles_oracle_sql(),
         "url_canonical": _url_canonical_oracle_sql(),
         "domain_caps": _domain_caps_oracle_sql(),
+        "group_split": _group_split_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

@@ -69,10 +69,14 @@ def _hexdigit(h: Column, i: int) -> Column:
     return F.conv(F.substring(h, i, 1), 16, 10).cast("int")
 
 
-def synth_urls(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, url) with deliberately messy-but-valid URLs: mixed-case
-    scheme/host, optional www, default and non-default ports, tracking
-    params in scrambled order, optional fragment.
+def synth_urls(df: DataFrame, id_col: str = "doc_id",
+               keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, url[, *keep]) with deliberately messy-but-valid URLs:
+    mixed-case scheme/host, optional www, default and non-default
+    ports, tracking params in scrambled order, optional fragment.
+    ``keep`` passes source columns through the projection, so consumers
+    that need them (e.g. group_split's per-lang accounting) stay
+    join-free.
 
     The md5 hex digits are materialized as ATTRIBUTES of a first
     projection stage (not reused ``Column`` trees): the url expression
@@ -128,7 +132,7 @@ def synth_urls(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         scheme, F.lit("://"), www, site, n_site.cast("string"), F.lit("."),
         tld, port, path, F.lit("?"), params, frag,
     )
-    return staged.select(d.alias(id_col), url.alias("url"))
+    return staged.select(d.alias(id_col), url.alias("url"), *keep)
 
 
 # --------------------------------------------------------------------------
