@@ -1725,6 +1725,21 @@ def _q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (provenance report before
+    corpus mixing): shared distinct 10-token-unit digests per unordered
+    source pair, diagonal = each source's own distinct-unit count. ONE
+    digest-keyed exchange (map-side-combined collect_set bounded by
+    source cardinality) + higher-order pair expansion — no self-join.
+    Oracle is the declarative twin: distinct (digest, source) + ordered
+    self-join."""
+    from bloomfilter_multithread_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(_read(spark, sf_dir, "documents"))
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3291,6 +3306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_salted_skew": _q_bloom_salted_skew,
         "streaming_seen_text": _q_streaming_seen_text,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
+        # round-4 late addition, first-50 window already committed to
+        # never-driver-verified queries: source_overlap starts at the
+        # tail (local mirror coverage only) and is ROUND-5 ROTATION DEBT
+        # - rotate it into the window next round.
+        "source_overlap": _q_source_overlap,
     }
 
 
@@ -3354,6 +3374,14 @@ def _group_split_oracle_sql() -> str:
       FROM assigned
       GROUP BY split, lang
     """
+
+
+def _source_overlap_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.dedup import (
+        duckdb_source_overlap_sql,
+    )
+
+    return duckdb_source_overlap_sql("documents")
 
 
 def _dup_spans_oracle_sql() -> str:
@@ -3688,6 +3716,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _url_canonical_oracle_sql(),
         "domain_caps": _domain_caps_oracle_sql(),
         "group_split": _group_split_oracle_sql(),
+        "source_overlap": _source_overlap_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

@@ -143,6 +143,106 @@ def duckdb_line_dedup_sql(table: str, id_col: str = "doc_id",
     """
 
 
+def source_overlap_matrix(df: DataFrame, text_col: str = "text",
+                          group_col: str = "source",
+                          line_tokens: int = 10) -> DataFrame:
+    """Cross-source content-overlap matrix — "how much of source A also
+    appears in source B", the provenance report a curation pipeline
+    reads before mixing corpora (double-counted content distorts
+    mixture weights and leaks eval material between sources).
+
+    Units are the same deterministic non-overlapping ``line_tokens``-
+    token chunks as :func:`line_dedup_stats`; a unit "overlaps" two
+    sources when its digest occurs in both. Output: one row per
+    unordered source pair (source_a <= source_b) with the count of
+    shared distinct units; the diagonal (a == b) is each source's own
+    distinct-unit count, so the matrix is self-normalizing.
+
+    Scale shape: unit text collapses to md5 BEFORE the one exchange
+    (groupBy digest, map-side-combined ``collect_set(source)`` bounded
+    by the source cardinality); pair expansion is a higher-order
+    transform over the per-digest sorted source array — NO self-join,
+    no second scan. The final pair aggregation carries at most
+    |sources|^2 rows. Contract: ``group_col`` is a bounded-cardinality
+    provenance label (sources, snapshots, crawls) — for unbounded
+    groups the |set|^2 expansion is the wrong tool.
+
+    Reference lineage: the reference's q disjoint Bloom filters only
+    ever answer "seen anywhere" (main.cpp:119-127); the per-source
+    digest sets here answer the refinement "seen WHERE", with the same
+    collapse-to-digest-before-exchange discipline."""
+    toks = df.select(
+        F.col(group_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    starts = toks.select(
+        group_col,
+        "_toks",
+        "_n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(line_tokens)
+            )
+        ).alias("_s"),
+    )
+    n_unit = F.least(F.lit(line_tokens), F.col("_n") - F.col("_s"))
+    units = starts.select(
+        F.col(group_col).alias("_src"),
+        F.md5(
+            F.array_join(F.slice(F.col("_toks"), F.col("_s") + 1, n_unit), " ")
+        ).alias("_h"),
+    )
+    per_digest = units.groupBy("_h").agg(
+        F.array_sort(F.collect_set("_src")).alias("_ss")
+    )
+    # ordered pairs (x, y) with x <= y, diagonal included: for the i-th
+    # element (0-based), pair it with itself and everything after it
+    pairs = per_digest.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_ss",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("_ss"), i + 1, F.size("_ss") - i),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return pairs.groupBy(
+        F.col("_p.a").alias("source_a"), F.col("_p.b").alias("source_b")
+    ).agg(F.count("*").cast("long").alias("shared_units"))
+
+
+def duckdb_source_overlap_sql(table: str, text_col: str = "text",
+                              group_col: str = "source",
+                              line_tokens: int = 10) -> str:
+    """Exact mirror of :func:`source_overlap_matrix` (distinct
+    (digest, source) pairs + ordered self-join — the declarative twin
+    of the set-expansion form)."""
+    k = line_tokens
+    return f"""
+        WITH t AS (
+            SELECT {group_col} AS src,
+                   regexp_split_to_array(trim({text_col}), '\\s+') AS toks,
+                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n
+            FROM {table}
+        ),
+        l AS (
+            SELECT src,
+                   md5(array_to_string(
+                       toks[(g.s + 1):(g.s + LEAST({k}, n - g.s))], ' ')) AS h
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(0, greatest(n - 1, 0), {k})) AS s) g
+        ),
+        lu AS (SELECT DISTINCT src, h FROM l)
+        SELECT a.src AS source_a, b.src AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_units
+        FROM lu a JOIN lu b ON a.h = b.h AND a.src <= b.src
+        GROUP BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------- minhash
 
 

@@ -211,3 +211,69 @@ def test_line_dedup_exchanges_carry_digests_only(spark):
 
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in ex, ex
+
+
+# ------------------------------------------------- cross-source overlap
+
+
+def test_source_overlap_planted(spark):
+    from bloomfilter_multithread_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    shared = "s01 s02 s03 s04 s05 s06 s07 s08 s09 s10"
+    docs = [
+        ("A", shared + " a01 a02 a03 a04 a05 a06 a07 a08 a09 a10"),
+        ("B", shared),
+        ("B", "b01 b02 b03"),
+        ("C", "c01 c02 c03"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {(r.source_a, r.source_b): r.shared_units
+           for r in source_overlap_matrix(df).collect()}
+    # A: {shared, a-unit}; B: {shared, b-unit}; C: {c-unit}
+    assert got == {
+        ("A", "A"): 2, ("B", "B"): 2, ("C", "C"): 1,
+        ("A", "B"): 1,
+    }
+
+
+def test_source_overlap_mirror_parity(spark, sf_dir):
+    import duckdb
+
+    from bloomfilter_multithread_spark.operators.dedup import (
+        duckdb_source_overlap_sql,
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r.source_a, r.source_b): r.shared_units
+           for r in source_overlap_matrix(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {(r[0], r[1]): r[2] for r in
+            con.execute(duckdb_source_overlap_sql("documents")).fetchall()}
+    assert got == want
+    assert any(a != b for a, b in got)  # off-diagonal is populated
+
+
+def test_source_overlap_exchanges_carry_digests_only(spark):
+    """The one data exchange is digest-keyed; unit text and token
+    arrays never leave the map side, and there is no self-join (a
+    single scan feeds the pair expansion)."""
+    import re
+
+    from bloomfilter_multithread_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    df = spark.createDataFrame([("A", "a b c")], "source string, text string")
+    plan = (
+        source_overlap_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in ex and "_toks" not in ex, ex
+    assert "Join" not in plan, plan
+    assert plan.count("Scan ExistingRDD") <= 1
