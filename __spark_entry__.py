@@ -1740,6 +1740,72 @@ def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(_read(spark, sf_dir, "documents"))
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit — group_split keeps each DOMAIN on one
+    side of the train/eval boundary, but near-duplicate docs on
+    different domains still straddle it; this query reports every
+    confirmed near-dup pair (MinHash bands + exact-Jaccard confirm,
+    the gated minhash_neardup funnel) whose endpoints landed in
+    different splits, annotated with both splits. Shape: the pair set
+    is funnel-tiny, so its endpoint ids broadcast into one semi-join
+    that narrows the assignment projection; splits attach by broadcast
+    (plan-asserted in tests/test_splits.py — the corpus is never
+    shuffled). Oracle replays brute-force Jaccard pairs + the identical
+    split CASE."""
+    from bloomfilter_multithread_spark.operators.dedup import minhash_dedup
+    from bloomfilter_multithread_spark.operators.splits import (
+        group_split,
+        split_leakage,
+    )
+    from bloomfilter_multithread_spark.operators.urls import (
+        canonicalize_urls,
+        synth_urls,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, k=5, n_perm=64, bands=16, threshold=0.8)
+    assignment = group_split(
+        canonicalize_urls(synth_urls(docs)), "registered_domain"
+    ).select("doc_id", "split")
+    return split_leakage(pairs, assignment).select(
+        "id_a", "id_b", "jaccard_bp", "split_a", "split_b"
+    )
+
+
+def _q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training export with verifiable manifest: documents are
+    hash-routed to 8 parquet shards (assignment a pure md5 function of
+    doc_id — rerun/retry/growth stable), then the per-shard manifest
+    (docs, chars, tokens, order-free mod-2^62 digest-sum checksum) is
+    computed FROM THE RE-READ FILES while the oracle computes it from
+    the logical table — a hash match proves the write+read round-trip
+    preserved every byte of every doc. The manifest rows are collected
+    inside the temp-dir scope (the gate itself), then re-lifted."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.export import export_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as td:
+        m = export_shards(spark, docs, f"{td}/shards", n_shards=8)
+        rows = m.collect()
+    return spark.createDataFrame(rows, m.schema)
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty curve (Heap's-law profile): total vs distinct
+    gram counts and their ppm ratio at k=1,2,3,5 — the statistic a
+    curation run reads before choosing dedup granularity (Lee et al.
+    2022 report these fractions). Grams are md5-digested before the
+    exchange; single-column countDistinct compiles to two map-side-
+    combined hash aggregates with no expand, so duplicate-heavy
+    corpora shuffle LESS. Oracle: identical shingle CTE per k, same
+    digests, same integer rounding."""
+    from bloomfilter_multithread_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_read(spark, sf_dir, "documents"))
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3307,10 +3373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seen_text": _q_streaming_seen_text,
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         # round-4 late addition, first-50 window already committed to
-        # never-driver-verified queries: source_overlap starts at the
-        # tail (local mirror coverage only) and is ROUND-5 ROTATION DEBT
-        # - rotate it into the window next round.
+        # never-driver-verified queries: source_overlap, split_leakage,
+        # export_manifest and vocab_growth start at the tail (local
+        # mirror coverage only) and are ROUND-5 ROTATION DEBT - rotate
+        # them into the window next round.
         "source_overlap": _q_source_overlap,
+        "split_leakage": _q_split_leakage,
+        "export_manifest": _q_export_manifest,
+        "vocab_growth": _q_vocab_growth,
     }
 
 
@@ -3382,6 +3452,48 @@ def _source_overlap_oracle_sql() -> str:
     )
 
     return duckdb_source_overlap_sql("documents")
+
+
+def _split_leakage_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.dedup import (
+        duckdb_jaccard_pairs_sql,
+    )
+    from bloomfilter_multithread_spark.operators.splits import (
+        duckdb_group_split_case,
+    )
+    from bloomfilter_multithread_spark.operators.urls import (
+        _duckdb_canonical_exprs,
+        duckdb_synth_urls_sql,
+    )
+
+    case = duckdb_group_split_case("registered_domain")
+    return f"""
+      WITH pairs AS ({duckdb_jaccard_pairs_sql("documents")}),
+      urls AS ({duckdb_synth_urls_sql("documents")}),
+      {_duckdb_canonical_exprs()},
+      assigned AS (SELECT c.doc_id, {case} AS split FROM canonical c)
+      SELECT p.id_a, p.id_b, p.jaccard_bp,
+             sa.split AS split_a, sb.split AS split_b
+      FROM pairs p JOIN assigned sa ON p.id_a = sa.doc_id
+                   JOIN assigned sb ON p.id_b = sb.doc_id
+      WHERE sa.split <> sb.split
+    """
+
+
+def _export_manifest_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.export import (
+        duckdb_manifest_sql,
+    )
+
+    return duckdb_manifest_sql("documents", n_shards=8)
+
+
+def _vocab_growth_oracle_sql() -> str:
+    from bloomfilter_multithread_spark.operators.textstats import (
+        duckdb_vocab_growth_sql,
+    )
+
+    return duckdb_vocab_growth_sql("documents")
 
 
 def _dup_spans_oracle_sql() -> str:
@@ -3717,6 +3829,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_caps": _domain_caps_oracle_sql(),
         "group_split": _group_split_oracle_sql(),
         "source_overlap": _source_overlap_oracle_sql(),
+        "split_leakage": _split_leakage_oracle_sql(),
+        "export_manifest": _export_manifest_oracle_sql(),
+        "vocab_growth": _vocab_growth_oracle_sql(),
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

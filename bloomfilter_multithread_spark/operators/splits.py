@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from .sampling import BUCKETS, duckdb_hash_bucket_sql, hash_bucket
 
-__all__ = ["group_split", "duckdb_group_split_case"]
+__all__ = ["group_split", "duckdb_group_split_case", "split_leakage"]
 
 DEFAULT_SPLITS = (("train", 800_000), ("val", 100_000), ("test", 100_000))
 
@@ -87,3 +87,48 @@ def duckdb_group_split_case(expr: str,
         edge += ppm
         arms.append(f"WHEN {b} < {edge} THEN '{name}'")
     return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+
+
+def split_leakage(pairs: DataFrame, assignment: DataFrame,
+                  id_col: str = "doc_id",
+                  split_col: str = "split") -> DataFrame:
+    """Cross-split leakage audit — the check a group-aware split still
+    needs: :func:`group_split` guarantees every row of a GROUP lands in
+    one split, but near-duplicate documents in DIFFERENT groups (same
+    article syndicated on two domains) can still straddle the
+    train/eval boundary and inflate eval scores. Given the confirmed
+    near-dup ``pairs`` (id_a, id_b, ...payload) and the corpus's split
+    ``assignment`` (id, split), returns the pairs whose endpoints fall
+    in different splits, annotated with both splits.
+
+    Scale shape (the audit must not cost another corpus pass): the
+    confirmed-pair set is tiny relative to the corpus (it is the output
+    of the LSH-band + exact-confirm funnel), so its endpoint-id set is
+    broadcast into ONE semi-join that narrows the assignment projection
+    to only the docs appearing in any pair; the splits are then
+    attached to the pairs by two broadcast hash joins over that
+    narrowed (driver-sized) table. One full scan of ``assignment``,
+    zero shuffles of it (plan-asserted in tests/test_splits.py: no
+    SortMergeJoin, no Exchange on the assignment side). Reference
+    lineage: this is the probe phase of the reference's corpus/query
+    membership pipeline (/root/reference/src/SkmerSplitter.cpp:91-151)
+    with the Bloom filter replaced by the exact broadcast id set —
+    exactness matters because the audit's output is a report, not a
+    prefilter."""
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    small = (
+        assignment.select(F.col(id_col).alias("_id"),
+                          F.col(split_col).alias("_split"))
+        .join(F.broadcast(ids), "_id")
+    )
+    a = small.select(F.col("_id").alias("id_a"), F.col("_split").alias("split_a"))
+    b = small.select(F.col("_id").alias("id_b"), F.col("_split").alias("split_b"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )

@@ -582,3 +582,70 @@ def duckdb_tfidf_topk_sql(table: str, queries: dict[str, list[str]], k: int = 10
               FROM scores) t
         WHERE rnk <= {k}
     """
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 ks: tuple[int, ...] = (1, 2, 3, 5)) -> DataFrame:
+    """n-gram novelty curve — (k, n_grams, n_distinct, distinct_ppm)
+    for each shingle size in ``ks``: total gram occurrences, distinct
+    grams, and their ratio in ppm. The Heap's-law profile a curation
+    run reads before choosing dedup settings: a low distinct_ppm at
+    large k means heavy boilerplate (near-dup dividend is large), a
+    curve that stays near 1e6 means the corpus is already novel at that
+    granularity (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", reports exactly these fractions).
+    Reference analog: the k-mer multiplicity profile the reference's
+    Bloom build implicitly walks (/root/reference/src/
+    SkmerSplitter.cpp:81-90 — every k-mer occurrence inserted, distinct
+    ones set new bits).
+
+    Scale shape: one exploded pass per k unioned into a single plan;
+    grams are md5-digested BEFORE any exchange (32-hex strings, never
+    raw shingle text, the engine's md5-before-exchange idiom) and
+    ``countDistinct`` over one column compiles to two map-side-combined
+    hash aggregates — partial distinct on (k, digest), then per-k
+    counts — with no expand (single distinct aggregate). The exchange
+    after the first partial carries one row per DISTINCT (k, digest)
+    per task, so duplicate-heavy corpora shuffle LESS."""
+    from ..functions.shingles import explode_shingles
+
+    parts = [
+        explode_shingles(df.select(text_col), text_col, k)
+        .select(F.lit(k).alias("k"), F.md5("shingle").alias("_g"))
+        for k in ks
+    ]
+    ex = parts[0]
+    for p in parts[1:]:
+        ex = ex.unionByName(p)
+    return ex.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.countDistinct("_g").cast("long").alias("n_distinct"),
+        F.floor(
+            F.countDistinct("_g") * F.lit(1_000_000) / F.count("*") + F.lit(0.5)
+        ).cast("long").alias("distinct_ppm"),
+    )
+
+
+def duckdb_vocab_growth_sql(table: str = "documents", text_col: str = "text",
+                            ks: tuple[int, ...] = (1, 2, 3, 5)) -> str:
+    """Exact mirror of :func:`vocab_growth` — same shingle CTE per k,
+    same md5 digests, same integer ppm rounding."""
+    from ..functions.shingles import duckdb_shingles_cte
+
+    selects = []
+    for k in ks:
+        cte = duckdb_shingles_cte(f"(SELECT 1 AS one, {text_col} FROM {table}) s",
+                                  "one", text_col, k)
+        selects.append(
+            f"SELECT {k} AS k, md5(shingle) AS _g FROM ({cte}) sh{k}"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT _g) AS BIGINT) AS n_distinct,
+               CAST(FLOOR(COUNT(DISTINCT _g) * 1000000.0 / COUNT(*) + 0.5)
+                    AS BIGINT) AS distinct_ppm
+        FROM ({union}) g
+        GROUP BY k
+    """

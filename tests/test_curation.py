@@ -277,3 +277,36 @@ def test_source_overlap_exchanges_carry_digests_only(spark):
         assert "text" not in ex and "_toks" not in ex, ex
     assert "Join" not in plan, plan
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+# ------------------------------------------------------------ vocab_growth
+
+def test_vocab_growth_exact_counts(spark):
+    from bloomfilter_multithread_spark.operators.textstats import vocab_growth
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b a b"), (2, "c d")],
+        "doc_id int, text string",
+    )
+    got = {r.k: (r.n_grams, r.n_distinct, r.distinct_ppm)
+           for r in vocab_growth(df, ks=(1, 2)).collect()}
+    # k=1: 10 tokens total, distinct {a,b,c,d} = 4
+    assert got[1] == (10, 4, 400000)
+    # k=2: per doc 0/1: "a b","b a","a b" (3 each); doc 2: "c d" (1)
+    # total 7, distinct {"a b","b a","c d"} = 3
+    assert got[2] == (7, 3, 428571)
+
+
+def test_vocab_growth_digests_before_exchange(spark):
+    import re
+
+    from bloomfilter_multithread_spark.operators.textstats import vocab_growth
+
+    df = spark.createDataFrame([(0, "a b c d e f")], "doc_id int, text string")
+    plan = (
+        vocab_growth(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # exchanges carry md5 digests, never raw shingle/token arrays
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "shingle" not in ex, ex
+    assert "Expand" not in plan  # single distinct agg -> no expand

@@ -1,0 +1,56 @@
+"""Sharded export manifest: round-trip parity, checksum semantics,
+assignment determinism, DuckDB mirror parity."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bloomfilter_multithread_spark.operators.export import (
+    duckdb_manifest_sql,
+    export_shards,
+    shard_manifest,
+)
+
+
+def _docs(spark, rows=None):
+    rows = rows if rows is not None else [
+        (i, f"doc {i} body word{i % 3} tail") for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_roundtrip_manifest_matches_oracle(spark, tmp_path):
+    df = _docs(spark)
+    m = export_shards(spark, df, str(tmp_path / "shards"), n_shards=4)
+    got = sorted(tuple(r) for r in m.collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = sorted(
+        tuple(r) for r in
+        con.sql(duckdb_manifest_sql("documents", n_shards=4)).fetchall()
+    )
+    assert got == want
+    assert sum(r[1] for r in got) == 40  # every doc in exactly one shard
+
+
+def test_checksum_is_order_free_but_duplicate_sensitive(spark):
+    rows = [(1, "alpha beta"), (2, "gamma"), (3, "delta eps")]
+    one = shard_manifest(
+        _docs(spark, rows).withColumn("shard_id", F.lit(0))
+    ).collect()[0]
+    rev = shard_manifest(
+        _docs(spark, rows[::-1]).withColumn("shard_id", F.lit(0))
+    ).collect()[0]
+    assert one.checksum == rev.checksum  # order-independent
+    dup = shard_manifest(
+        _docs(spark, rows + [rows[0]]).withColumn("shard_id", F.lit(0))
+    ).collect()[0]
+    assert dup.checksum != one.checksum  # XOR would cancel; sum must not
+
+
+def test_shard_assignment_is_partitioning_invariant(spark, tmp_path):
+    df = _docs(spark)
+    a = export_shards(spark, df, str(tmp_path / "a"), n_shards=4)
+    b = export_shards(spark, df.repartition(7), str(tmp_path / "b"), n_shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -125,3 +125,38 @@ def test_duckdb_case_matches_spark_bucketing(spark):
             for v in vals}
     assert got == want
     assert len(set(got.values())) == 3
+
+
+# ----------------------------------------------------------- split_leakage
+
+def _leak_fixture(spark):
+    from bloomfilter_multithread_spark.operators.splits import split_leakage
+
+    assignment = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "test"), (5, "train")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 9000), (1, 3, 8500), (4, 5, 9900)],
+        "id_a long, id_b long, jaccard_bp long",
+    )
+    return split_leakage(pairs, assignment), assignment, pairs
+
+
+def test_split_leakage_flags_only_cross_split_pairs(spark):
+    out, _, _ = _leak_fixture(spark)
+    got = {(r.id_a, r.id_b, r.jaccard_bp, r.split_a, r.split_b)
+           for r in out.collect()}
+    assert got == {
+        (1, 2, 9000, "train", "val"),   # crosses train/val
+        (4, 5, 9900, "test", "train"),  # crosses test/train
+    }  # (1,3) is train/train -> not leakage
+
+
+def test_split_leakage_plan_never_shuffles_the_corpus(spark):
+    out, _, _ = _leak_fixture(spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every join is broadcast: pair ids semi-join + two split attaches
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
