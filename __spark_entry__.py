@@ -1806,6 +1806,55 @@ def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_read(spark, sf_dir, "documents"))
 
 
+def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with a deterministic guarantee: the
+    Misra–Gries sketch is built INCREMENTALLY across micro-batch epochs
+    (foreachBatch partial build -> merge-into-state, several epochs via
+    maxFilesPerTrigger) over a live file stream of events, then the
+    epoch-merged candidates confirm exactly against the batch table.
+    The mergeability theorem (Agarwal et al. PODS'12 §3.1 — the merged
+    sketch's undercount D = (N-S)/(k+1) is the same bound a one-shot
+    build gets) is exactly what makes the continuous-pipeline shape
+    sound, and this query gates it end-to-end: with D < threshold the
+    candidate set is a guaranteed superset, so output ≡ the batch
+    GROUP BY HAVING oracle, hash-exact, even though the sketch state
+    crossed epoch boundaries. Batch twin: mg_heavy_hitters."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.build import SketchSpec
+    from bloomfilter_multithread_spark.streaming.sketch_stream import (
+        StreamingSketchBuilder,
+        read_parquet_stream,
+    )
+
+    threshold = 80
+    ev = _read(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/events"
+        # several files -> several micro-batch epochs of sketch state
+        ev.select("user_id").repartition(6).write.parquet(src)
+        stream = read_parquet_stream(spark, src, schema="user_id bigint",
+                                     max_files_per_trigger=2)
+        builder = StreamingSketchBuilder(
+            [SketchSpec("m", "mg", "user_id", {"k": 4095})],
+            state_dir=f"{td}/state",
+        )
+        mg = builder.build_available(stream, checkpoint_dir=f"{td}/ckpt")["m"]
+    assert mg.error_bound() < threshold, (
+        "MG capacity too small for this scale: raise k so N/(k+1) < threshold"
+    )
+    cand = spark.createDataFrame(
+        [(int(h),) for h in mg.item_hashes()], "_h long"
+    )
+    return (
+        ev.select(F.col("user_id"), F.xxhash64(F.col("user_id")).alias("_h"))
+        .join(F.broadcast(cand), "_h")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .where(F.col("n_events") >= threshold)
+    )
+
+
 def _q_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the canonical pretraining-curation chain
     run end-to-end as ONE gated query: quality filter (quality_bp >=
@@ -3374,13 +3423,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
         # round-4 late addition, first-50 window already committed to
         # never-driver-verified queries: source_overlap, split_leakage,
-        # export_manifest and vocab_growth start at the tail (local
-        # mirror coverage only) and are ROUND-5 ROTATION DEBT - rotate
-        # them into the window next round.
+        # export_manifest, vocab_growth and stream_heavy_hitters start
+        # at the tail (local mirror coverage only) and are ROUND-5
+        # ROTATION DEBT - rotate them into the window next round.
         "source_overlap": _q_source_overlap,
         "split_leakage": _q_split_leakage,
         "export_manifest": _q_export_manifest,
         "vocab_growth": _q_vocab_growth,
+        "stream_heavy_hitters": _q_stream_heavy_hitters,
     }
 
 
@@ -3832,6 +3882,12 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "export_manifest": _export_manifest_oracle_sql(),
         "vocab_growth": _vocab_growth_oracle_sql(),
+        # candidate-superset theorem (D < threshold asserted in-query)
+        # makes the epoch-merged MG confirm ≡ plain GROUP BY HAVING
+        "stream_heavy_hitters": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+        """,
         # CCNet tiering: SQL-standard NTILE over the same total order
         # (avg_nll_micro, doc_id) global_ntile uses — tile-for-tile.
         "nll_buckets": f"""

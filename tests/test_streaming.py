@@ -228,3 +228,35 @@ def test_running_quantiles_per_key(spark, tmp_path):
             # rank INTERVAL [P(v<est), P(v<=est)] straddling q
             lo, hi = (vals < est).mean(), (vals <= est).mean()
             assert lo - 0.05 <= qq <= hi + 0.05, (role, qq, lo, hi)
+
+
+def test_stream_mg_epoch_merge_keeps_heavy_hitter_guarantee(spark, tmp_path):
+    """MG built across several micro-batch epochs (mergeability theorem:
+    the merged undercount bound D=(N-S)/(k+1) matches a one-shot build)
+    must still store every item whose true count exceeds D — the
+    guarantee stream_heavy_hitters' exact-confirm relies on."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # skewed stream: user 7 is heavy (120 rows), the rest are noise
+    rows = [(7,)] * 120 + [(i % 40 + 100,) for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id"]))
+    in_dir = str(tmp_path / "in")
+    df.repartition(5).write.parquet(in_dir)  # 5 files -> several epochs
+
+    spec = [SketchSpec("m", "mg", "user_id", {"k": 63})]
+    builder = StreamingSketchBuilder(spec, str(tmp_path / "state"))
+    stream = read_parquet_stream(spark, in_dir, "user_id bigint",
+                                 max_files_per_trigger=1)
+    mg = builder.build_available(stream, str(tmp_path / "ckpt"))["m"]
+    epoch, _ = builder.load_state()
+    assert epoch >= 2  # the state genuinely crossed epoch boundaries
+
+    heavy_hash = df.where("user_id = 7").select(
+        F.xxhash64("user_id")
+    ).first()[0]
+    assert mg.error_bound() < 120
+    assert heavy_hash in set(int(h) for h in mg.item_hashes())
+    # undercount contract: 0 <= exact - est <= D
+    est = int(mg.estimate_hashes([heavy_hash])[0])
+    assert 0 <= 120 - est <= mg.error_bound()
