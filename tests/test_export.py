@@ -54,3 +54,42 @@ def test_shard_assignment_is_partitioning_invariant(spark, tmp_path):
     a = export_shards(spark, df, str(tmp_path / "a"), n_shards=4)
     b = export_shards(spark, df.repartition(7), str(tmp_path / "b"), n_shards=4)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_checksum_matches_python_model_on_random_docs(spark):
+    """Hypothesis-style randomized cross-check of the decimal-sum
+    modular arithmetic against a pure-Python big-int model (Spark's
+    decimal(38,0) sum and the 2^62 modulo must agree with unbounded
+    ints for any row set)."""
+    import hashlib
+    import random
+
+    from bloomfilter_multithread_spark.operators.export import (
+        CHECKSUM_HEX_DIGITS,
+        CHECKSUM_MOD,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = [
+            (rng.randrange(10**12), "w" + str(rng.randrange(10**6)) + " body")
+            for _ in range(rng.randrange(1, 60))
+        ]
+        want = sum(
+            int(hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:CHECKSUM_HEX_DIGITS], 16)
+            for i, t in rows
+        ) % CHECKSUM_MOD
+        got = shard_manifest(
+            _docs(spark, rows).withColumn("shard_id", F.lit(0))
+        ).collect()[0].checksum
+        assert got == want, f"trial {trial}"
+
+
+def test_vocab_growth_is_partitioning_invariant(spark):
+    from bloomfilter_multithread_spark.operators.textstats import vocab_growth
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} tok{i % 5} x y") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, vocab_growth(df).collect()))
+    b = sorted(map(tuple, vocab_growth(df.repartition(13)).collect()))
+    assert a == b
