@@ -343,9 +343,14 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = 80
     ev = _read(spark, sf_dir, "events")
     mg = build_sketches(ev, [SketchSpec("m", "mg", "user_id", {"k": 4095})])["m"]
-    assert mg.error_bound() < threshold, (
-        "MG capacity too small for this scale: raise k so N/(k+1) < threshold"
-    )
+    if mg.error_bound() >= threshold:
+        # explicit raise, not assert: under `python -O` a stripped assert
+        # would let an undersized sketch silently drop heavy hitters,
+        # surfacing only as an opaque oracle hash mismatch (ADVICE r4)
+        raise ValueError(
+            "MG capacity too small for this scale: raise k so "
+            f"N/(k+1) < threshold ({mg.error_bound()} >= {threshold})"
+        )
     bound = mg.error_bound()
     # candidates as a broadcast-joined DF, not thousands of literal
     # expressions (a 2k-entry create_map / isin literal list measured
@@ -552,9 +557,11 @@ def _q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for (g, _name), s in sorted(collect_grouped(merged).items()):
         bound = s.error_bound()
-        assert bound < threshold, (
-            "per-group MG capacity too small: raise k so N_g/(k+1) < threshold"
-        )
+        if bound >= threshold:  # explicit raise — assert strips under -O
+            raise ValueError(
+                "per-group MG capacity too small: raise k so "
+                f"N_g/(k+1) < threshold ({bound} >= {threshold})"
+            )
         hs = s.item_hashes()
         for h, e in zip(hs, s.estimate_hashes(hs)):
             rows.append((g, int(h), int(e), float(bound)))
@@ -845,7 +852,7 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).cast("long").alias("n_tokens"),
         token_count_bpe("text").alias("n_tokens_bpe"),
     )
 
@@ -1840,9 +1847,14 @@ def _q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             state_dir=f"{td}/state",
         )
         mg = builder.build_available(stream, checkpoint_dir=f"{td}/ckpt")["m"]
-    assert mg.error_bound() < threshold, (
-        "MG capacity too small for this scale: raise k so N/(k+1) < threshold"
-    )
+    if mg.error_bound() >= threshold:
+        # explicit raise, not assert: under `python -O` a stripped assert
+        # would let an undersized sketch silently drop heavy hitters,
+        # surfacing only as an opaque oracle hash mismatch (ADVICE r4)
+        raise ValueError(
+            "MG capacity too small for this scale: raise k so "
+            f"N/(k+1) < threshold ({mg.error_bound()} >= {threshold})"
+        )
     cand = spark.createDataFrame(
         [(int(h),) for h in mg.item_hashes()], "_h long"
     )
@@ -3073,15 +3085,17 @@ def _q_sql_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the oracle mirrors); this gates that the registered-UDTF
     ROUTE produces byte-identical shingles.
 
-    Tokenization parity caveat (ADVICE r3): the JVM shingler
-    (functions/shingles.py) splits on Java-regex ``\\s+`` and the DuckDB
-    mirror on RE2 ``\\s+`` — both ASCII-only — while Python's bare
-    ``str.split()`` splits on ALL Unicode whitespace. The UDTF therefore
-    splits on an EXPLICIT ASCII whitespace class so three-engine parity
-    holds by construction, not by fixture luck, and guards NULL/empty
+    Tokenization parity caveat (ADVICE r3, hardened r5): the JVM
+    shingler (functions/shingles.py) and every DuckDB mirror now split
+    on the EXPLICIT class ``[ \\t\\n\\x0B\\f\\r]+`` (Java ``\\s`` includes
+    ``\\x0B``, RE2's does not — ADVICE r4 on export.py), while Python's
+    bare ``str.split()`` splits on ALL Unicode whitespace. The UDTF
+    therefore splits on the same explicit ASCII whitespace class so
+    three-engine parity holds by construction, not by fixture luck,
+    and guards NULL/empty
     text exactly like the JVM route: NULL → no rows (split(NULL) is
     NULL, explode drops it); empty/all-whitespace → ONE empty shingle
-    (Spark split(trim(''), '\\s+') = [''] → the <k-tokens whole-text
+    (Spark split(trim(''), '[ \\t\\n\\x0B\\f\\r]+') = [''] → the <k-tokens whole-text
     branch emits '')."""
     import re as _re
 
@@ -3927,7 +3941,7 @@ def oracle_sql() -> dict[str, str]:
                     AND {duckdb_hash_bucket_sql('doc_id', seed='e2e')} < 500000)
             SELECT lang, source,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')))
                         AS BIGINT) AS n_tokens,
                    CAST(SUM(quality_bp) AS BIGINT) AS sum_quality_bp
             FROM s GROUP BY lang, source
@@ -4481,7 +4495,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
                      AS n_tokens_bpe
             FROM documents

@@ -184,7 +184,7 @@ def shingle_bloom_job(spark, cores: int, trials: int = SCALE_TRIALS,
         .repartition(SCALE_PARTITIONS)
     )
     turns = df.count()
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")
     sh_hash = F.explode(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),

@@ -26,8 +26,13 @@ DEFAULT_K = 5
 
 
 def tokens(col: Column | str) -> Column:
+    """Whitespace tokens. The class is spelled explicitly instead of
+    ``\\s``: Java's ``\\s`` includes ``\\x0B`` (vertical tab) while
+    RE2's (DuckDB's) does not, so ``\\s`` would silently break oracle
+    parity on VT-bearing text (ADVICE r4). Every DuckDB mirror in this
+    repo splits on the same literal class."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), r"[ \t\n\x0B\f\r]+")
 
 
 def normalized_text(col: Column | str) -> Column:
@@ -62,7 +67,7 @@ def duckdb_shingles_cte(table: str, id_cols: str, text_col: str = "text",
                 THEN array_to_string(t, ' ')
                 ELSE array_to_string(list_slice(t, i, i + {k - 1}), ' ')
            END AS {out}
-    FROM (SELECT {id_cols}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+    FROM (SELECT {id_cols}, regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS t
           FROM {table}) tok,
          LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - {k - 1}))) AS i) g
     """

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
 
 
 def chunk_sliding(
@@ -115,8 +115,8 @@ def duckdb_chunk_sliding_sql(table: str, id_col: str = "doc_id",
     return f"""
         WITH t AS (
             SELECT {id_col},
-                   regexp_split_to_array(trim({text_col}), '\\s+') AS toks,
-                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n
+                   regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+                   len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS n
             FROM {table}
         ),
         c AS (
@@ -145,7 +145,7 @@ def duckdb_pack_greedy_sql(table: str, id_col: str = "doc_id",
     return f"""
         WITH t AS (
             SELECT {id_col}, {stream_col},
-                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n_tokens
+                   len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens
             FROM {table}
         ),
         c AS (

@@ -80,7 +80,7 @@ def line_dedup_stats(df: DataFrame, id_col: str = "doc_id",
     operator exists to find, and they arrive pre-combined per map task.
     """
     toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_toks")
     ).withColumn("_n", F.size("_toks"))
     starts = toks.select(
         id_col,
@@ -121,8 +121,8 @@ def duckdb_line_dedup_sql(table: str, id_col: str = "doc_id",
     return f"""
         WITH t AS (
             SELECT {id_col},
-                   regexp_split_to_array(trim({text_col}), '\\s+') AS toks,
-                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n
+                   regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+                   len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS n
             FROM {table}
         ),
         l AS (
@@ -172,7 +172,7 @@ def source_overlap_matrix(df: DataFrame, text_col: str = "text",
     digest sets here answer the refinement "seen WHERE", with the same
     collapse-to-digest-before-exchange discipline."""
     toks = df.select(
-        F.col(group_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        F.col(group_col), F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_toks")
     ).withColumn("_n", F.size("_toks"))
     starts = toks.select(
         group_col,
@@ -224,8 +224,8 @@ def duckdb_source_overlap_sql(table: str, text_col: str = "text",
     return f"""
         WITH t AS (
             SELECT {group_col} AS src,
-                   regexp_split_to_array(trim({text_col}), '\\s+') AS toks,
-                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n
+                   regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+                   len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS n
             FROM {table}
         ),
         l AS (
@@ -413,7 +413,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     absorbs this."""
     hasher = hasher or F.xxhash64
     tok = (
-        df.select(id_col, F.explode(F.split(F.trim(text_col), r"\s+")).alias("tok"))
+        df.select(id_col, F.explode(F.split(F.trim(text_col), r"[ \t\n\x0B\f\r]+")).alias("tok"))
         .select(id_col, hasher(F.col("tok")).alias("h"))
     )
     sums = [
@@ -533,7 +533,7 @@ def duckdb_simhash_pairs_sql(table: str = "documents", id_col: str = "doc_id",
             SELECT {id_col} AS _id,
                    ('0x' || substr(md5(t.tok), 1, {hex_digits}))::BIGINT AS h
             FROM (SELECT {id_col},
-                         unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+                         unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                   FROM {table}) t
         ),
         sums AS (SELECT _id, {sums} FROM tok GROUP BY _id),

@@ -106,7 +106,7 @@ def duckdb_manifest_sql(table: str = "documents", n_shards: int = 8,
         SELECT CAST({bucket} AS INTEGER) AS shard_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(length({text_col})) AS BIGINT) AS n_chars,
-               CAST(SUM(len(regexp_split_to_array(trim({text_col}), '\\s+')))
+               CAST(SUM(len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')))
                     AS BIGINT) AS sum_tokens,
                CAST(SUM({digest}) % {CHECKSUM_MOD} AS BIGINT) AS checksum
         FROM {table}

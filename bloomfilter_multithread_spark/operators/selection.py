@@ -115,7 +115,7 @@ def duckdb_classifier_sql(table: str, id_col: str = "doc_id",
                    ('0x' || substr(md5(t || '{salt}'), 1, 8))::BIGINT
                      % {n_buckets} AS bucket
             FROM (SELECT {id_col},
-                         unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS t
+                         unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS t
                   FROM {table})
         ),
         w AS (
@@ -231,7 +231,7 @@ def duckdb_dsir_sql(table: str, target_pred: str, id_col: str = "doc_id",
     return f"""
         WITH base AS (
             SELECT {id_col}, ({target_pred}) AS is_target,
-                   regexp_split_to_array(trim({text_col}), '\\s+') AS t
+                   regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS t
             FROM {table}
         ),
         grams AS (
@@ -339,7 +339,7 @@ def duckdb_token_entropy_sql(table: str, id_col: str = "doc_id",
     return f"""
         WITH tok AS (
             SELECT {id_col},
-                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tk
+                   unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS tk
             FROM {table}
         ),
         cnt AS (

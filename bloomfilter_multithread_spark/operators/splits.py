@@ -116,13 +116,22 @@ def split_leakage(pairs: DataFrame, assignment: DataFrame,
     exactness matters because the audit's output is a report, not a
     prefilter.
 
-    ``pairs`` is persisted before the fan-out: this operator references
+    ``pairs`` is barriered before the fan-out: this operator references
     it three times (the pair rows themselves + both endpoint-id
     projections), and without the barrier Catalyst inlines the whole
     upstream funnel into every branch (measured 78 KB -> 5 KB optimized
     plan on the contract query — the urls.py expression-duplication
-    lesson). The cache is funnel-tiny by the operator's own contract."""
-    pairs = pairs.persist()
+    lesson). The barrier is ``localCheckpoint(eager=True)`` rather than
+    ``persist()`` (ADVICE r4): a persisted plan is pinned in the JVM's
+    CacheManager for session lifetime, so a resident audit service
+    calling this per batch would leak one cache entry per distinct
+    input plan. A local checkpoint materializes once (same single
+    funnel execution), truncates lineage to an RDD scan, and its
+    backing blocks are reference-tracked by the ContextCleaner — they
+    are freed when the result DataFrame is garbage-collected, with no
+    unpersist obligation pushed onto the caller. The materialized set
+    is funnel-tiny by the operator's own contract."""
+    pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias("_id"))
         .unionByName(pairs.select(F.col("id_b").alias("_id")))

@@ -108,7 +108,7 @@ def duckdb_dup_span_sql(table: str, id_col: str = "doc_id",
     gaps-and-islands merge, integer basis points."""
     return f"""
         WITH base AS (
-            SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+            SELECT {id_col}, regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS t
             FROM {table}
         ),
         tokc AS (SELECT {id_col}, CAST(len(t) AS BIGINT) AS n_tokens FROM base),

@@ -112,7 +112,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def duckdb_token_count(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     return (
-        f"SELECT {id_col}, CAST(len(regexp_split_to_array(trim({text_col}), '\\s+')) AS BIGINT)"
+        f"SELECT {id_col}, CAST(len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)"
         f" AS n_tokens FROM {table}"
     )
 
@@ -132,7 +132,7 @@ def duckdb_lang_id(table: str, id_col: str = "doc_id", text_col: str = "text") -
     return f"""
         SELECT {id_col}, {case} AS lang_pred FROM (
             SELECT {id_col}, {inner}, {best} AS best FROM (
-                SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS t
+                SELECT {id_col}, regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS t
                 FROM {table}) x
             ) y
     """.replace("{best}", best)
@@ -149,7 +149,7 @@ def duckdb_quality_bp(table: str, id_col: str = "doc_id", text_col: str = "text"
             + least(({hits}) * 1.0 / greatest(len(t), 1) * 5.0, 1.0) * 0.2
           ) * 10000 + 0.5) AS BIGINT) AS quality_bp
         FROM (SELECT {id_col}, {text_col},
-                     regexp_split_to_array(trim({text_col}), '\\s+') AS t
+                     regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM {table}) x
     """
 
@@ -177,9 +177,9 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     boundary can disagree). One narrow map — no shuffle, no UDF; all
     expressions are JVM codegen (split / filter / regexp_count)."""
     c = F.col(text_col)
-    toks = F.split(F.trim(c), r"\s+")
+    toks = F.split(F.trim(c), r"[ \t\n\x0B\f\r]+")
     n = F.size(toks).cast("long")
-    sum_len = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("long")
+    sum_len = F.length(F.regexp_replace(F.trim(c), r"[ \t\n\x0B\f\r]+", "")).cast("long")
     n_hash = (F.length(c) - F.length(F.regexp_replace(c, r"#", ""))).cast("long")
     n_ell = F.regexp_count(c, F.lit(r"\.\.\.")).cast("long")
     alpha_words = F.size(
@@ -214,10 +214,10 @@ def duckdb_gopher_rules_sql(table: str, id_col: str = "doc_id",
     return f"""
         WITH x AS (
             SELECT {id_col},
-                   regexp_split_to_array(trim({text_col}), '\\s+') AS t,
-                   CAST(len(regexp_split_to_array(trim({text_col}), '\\s+'))
+                   regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+') AS t,
+                   CAST(len(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+'))
                         AS BIGINT) AS n,
-                   CAST(length(regexp_replace(trim({text_col}), '\\s+', '', 'g'))
+                   CAST(length(regexp_replace(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
                         AS BIGINT) AS sum_len,
                    CAST(length({text_col})
                         - length(replace({text_col}, '#', '')) AS BIGINT) AS n_hash,
@@ -269,7 +269,7 @@ def bm25_scores(df: DataFrame, terms: list[str], id_col: str = "doc_id",
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     )
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     stats = dl.agg(
@@ -310,7 +310,7 @@ def duckdb_bm25_sql(table: str, terms: list[str], id_col: str = "doc_id",
     return f"""
         WITH toks AS (
             SELECT {id_col} AS _id,
-                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+                   unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
             FROM {table}
         ),
         dl AS (SELECT _id, COUNT(*) AS dl FROM toks GROUP BY _id),
@@ -422,7 +422,7 @@ def unigram_nll_scores(df: DataFrame, id_col: str = "doc_id",
     the driver."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     )
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").cast("long").alias("tf"))
     counts = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
@@ -453,7 +453,7 @@ def duckdb_unigram_nll_sql(table: str, id_col: str = "doc_id",
     return f"""
         WITH toks AS (
             SELECT {id_col} AS _id,
-                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+                   unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
             FROM {table}
         ),
         tf AS (SELECT _id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -507,7 +507,7 @@ def tfidf_topk(df: DataFrame, queries: dict[str, list[str]], k: int = 10,
 
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     )
     n_docs = df.select(id_col).distinct().count()
     postings = (
@@ -553,7 +553,7 @@ def duckdb_tfidf_topk_sql(table: str, queries: dict[str, list[str]], k: int = 10
     return f"""
         WITH toks AS (
             SELECT {id_col} AS _id,
-                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+                   unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
             FROM {table}
         ),
         postings AS (SELECT _id, tok, COUNT(*) AS tf FROM toks

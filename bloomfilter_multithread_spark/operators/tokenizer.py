@@ -110,7 +110,7 @@ def train_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 40,
     The ONLY corpus-wide work is one explode+groupBy; the collected
     frequency table is vocabulary-sized (Zipf + min_count bound)."""
     wc = (
-        df.select(F.explode(F.split(F.trim(text_col), r"\s+")).alias("w"))
+        df.select(F.explode(F.split(F.trim(text_col), r"[ \t\n\x0B\f\r]+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
@@ -197,7 +197,7 @@ def doc_token_stats(df: DataFrame, base_chars: list[str],
     word once. n_tokens_bpe >= n_pretokens always (a word is >= 1
     tokens) and <= total chars; pinned by tests."""
     wc = (
-        df.select(F.col(id_col), F.explode(F.split(F.trim(text_col), r"\s+")).alias("w"))
+        df.select(F.col(id_col), F.explode(F.split(F.trim(text_col), r"[ \t\n\x0B\f\r]+")).alias("w"))
         .where(F.col("w") != "")
         .groupBy(id_col, "w")
         .agg(F.count("*").alias("cnt"))
@@ -277,7 +277,7 @@ def duckdb_doc_token_stats_sql(base_chars: list[str], merges: list[tuple[str, st
     """Full mirror of :func:`doc_token_stats` over ``table``."""
     words_cte = f"""
         SELECT DISTINCT w FROM (
-            SELECT unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS w
+            SELECT unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS w
             FROM {table}) u
         WHERE w <> ''
     """
@@ -286,7 +286,7 @@ def duckdb_doc_token_stats_sql(base_chars: list[str], merges: list[tuple[str, st
         wc AS (
             SELECT {id_col}, w, COUNT(*) AS cnt FROM (
                 SELECT {id_col},
-                       unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS w
+                       unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS w
                 FROM {table}) u
             WHERE w <> '' GROUP BY {id_col}, w
         )

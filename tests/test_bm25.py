@@ -51,7 +51,7 @@ def test_contributions_far_from_rounding_boundaries(sf):
     q = f"""
         WITH toks AS (
             SELECT doc_id AS _id,
-                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                   unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
             FROM documents),
         dl AS (SELECT _id, COUNT(*) AS dl FROM toks GROUP BY _id),
         stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)/COUNT(*) AS avgdl FROM dl),
@@ -139,7 +139,7 @@ class TestTfidfTopk:
         q = f"""
             WITH toks AS (
                 SELECT doc_id AS _id,
-                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                       unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                 FROM documents),
             p AS (SELECT _id, tok, COUNT(*) AS tf FROM toks
                   WHERE tok IN ({', '.join("'" + t + "'" for t in terms)})

@@ -120,7 +120,7 @@ class TestUnigramNLL:
         q = """
             WITH toks AS (
                 SELECT doc_id AS _id,
-                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                       unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                 FROM documents),
             tf AS (SELECT _id, tok, COUNT(*) AS tf FROM toks GROUP BY _id, tok),
             counts AS (SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok),
@@ -310,3 +310,13 @@ def test_vocab_growth_digests_before_exchange(spark):
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "shingle" not in ex, ex
     assert "Expand" not in plan  # single distinct agg -> no expand
+
+
+def test_vocab_growth_is_partitioning_invariant(spark):
+    from bloomfilter_multithread_spark.operators.textstats import vocab_growth
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} tok{i % 5} x y") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, vocab_growth(df).collect()))
+    b = sorted(map(tuple, vocab_growth(df.repartition(13)).collect()))
+    assert a == b

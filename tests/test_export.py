@@ -85,11 +85,24 @@ def test_checksum_matches_python_model_on_random_docs(spark):
         assert got == want, f"trial {trial}"
 
 
-def test_vocab_growth_is_partitioning_invariant(spark):
-    from bloomfilter_multithread_spark.operators.textstats import vocab_growth
-
-    rows = [(i, f"tok{i % 7} tok{i % 3} tok{i % 5} x y") for i in range(50)]
-    df = spark.createDataFrame(rows, "doc_id int, text string")
-    a = sorted(map(tuple, vocab_growth(df).collect()))
-    b = sorted(map(tuple, vocab_growth(df.repartition(13)).collect()))
-    assert a == b
+def test_manifest_token_parity_on_vertical_tab(spark, tmp_path):
+    """Java's \\s includes \\x0B while RE2's does not (ADVICE r4) — both
+    engines now split on the explicit class [ \\t\\n\\x0B\\f\\r]+, so
+    VT-bearing text must produce IDENTICAL sum_tokens, not a spurious
+    'corruption' mismatch. This plants every divergence-prone char."""
+    rows = [
+        (1, "alpha\x0bbeta gamma"),        # VT joins in RE2 \s+? now splits both
+        (2, "a\tb\nc\fd\re f"),            # every other class member
+        (3, "\x0b lead and trail \x0b"),   # VT at trim boundaries
+        (4, "plain words here"),
+    ]
+    df = _docs(spark, rows)
+    m = export_shards(spark, df, str(tmp_path / "vt"), n_shards=2)
+    got = sorted(tuple(r) for r in m.collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = sorted(
+        tuple(r) for r in
+        con.sql(duckdb_manifest_sql("documents", n_shards=2)).fetchall()
+    )
+    assert got == want

@@ -104,7 +104,7 @@ class TestEncoding:
         )
         words_cte = """
             SELECT DISTINCT w FROM (
-                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
                 FROM documents) u WHERE w <> ''
         """
         sql = duckdb_bpe_words_sql(PINNED_BASE, PINNED_MERGES, words_cte)
