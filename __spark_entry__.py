@@ -1335,22 +1335,37 @@ def _q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM element_at lookups, no Python on the candidate path — followed
     by an exact-cosine rerank of the integer top-k' shortlist
     (broadcast joins only; vectors never shuffle). Data-point codebooks
-    (quantized subvectors of vec_id < 16) keep the oracle a pure SQL
+    (quantized subvectors of vec_id < 64) keep the oracle a pure SQL
     replay: quantization/codes/ADC are exact integer arithmetic, the
     rerank is the same float pattern as the IVF mirror. recall_bp is
     the in-query witness vs brute force (ADC shortlisting trades some
     recall vs plain IVF's exact rerank of whole cells — reported, not
-    hidden)."""
+    hidden).
+
+    Round-5 retune (VERDICT r4 #4): measured isolation showed the
+    recall ceiling was the RANDOM coarse quantizer (IVF ceiling 0.48
+    at sf0.01), not ADC — so the cells are now TRAINED by
+    train_ivf_pivots_int (3 integer-Lloyd rounds, data-point init,
+    order-free int64 sums => partitioning-invariant => the oracle
+    replays training as 3 unrolled CTE rounds), and the PQ config is
+    m=16 x ksub=64 with kprime=100. Measured at the gate: recall
+    0.40 -> 0.68 at sf0.01 (= the trained-IVF ceiling: ADC loss
+    isolates to ZERO), 0.597 at sf0.1 — the probe still reads only
+    n_probe/n_cells = 1/4 of the data."""
     from bloomfilter_multithread_spark.operators.similarity import (
         brute_force_topk,
         ivfpq_topk,
+        train_ivf_pivots_int,
         with_recall,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id % 50 = 0")
-    approx = ivfpq_topk(emb, q, k=10, dim=64, m=4, ksub=16, n_cells=16,
-                        n_probe=4, qid_col="vec_id")
+    piv = train_ivf_pivots_int(emb, dim=64, n_cells=16, iters=3,
+                               init_pred="vec_id < 16")
+    approx = ivfpq_topk(emb, q, k=10, kprime=100, dim=64, m=16, ksub=64,
+                        n_cells=16, n_probe=4, qid_col="vec_id",
+                        int_pivots=piv, codeword_pred="vec_id < 64")
     exact = brute_force_topk(emb, q, k=10, qid_col="vec_id")
     return with_recall(approx, exact, k=10)
 
@@ -3757,11 +3772,17 @@ def oracle_sql() -> dict[str, str]:
             k=10, query_pred="vec_id % 50 = 0",
         ),
         # full integer replay of the PQ stages (quantize / codebook
-        # slice / code argmin / ADC lookups / shortlist), then the same
+        # slice / code argmin / ADC lookups / shortlist) AND of the
+        # integer-Lloyd coarse-quantizer training (3 unrolled CTE
+        # rounds — order-free int64 sums make training itself
+        # partitioning-invariant and SQL-replayable), then the same
         # float exact-cosine rerank as the IVF mirror
         "ann_topk_pq": duckdb_recall_sql(
-            duckdb_ivfpq_sql(dim=64, m=4, ksub=16, n_cells=16, n_probe=4,
-                             seed=42, k=10, query_pred="vec_id % 50 = 0"),
+            duckdb_ivfpq_sql(dim=64, m=16, ksub=64, n_cells=16, n_probe=4,
+                             k=10, kprime=100, lloyd_iters=3,
+                             init_pred="vec_id < 16",
+                             codeword_pred="vec_id < 64",
+                             query_pred="vec_id % 50 = 0"),
             k=10, query_pred="vec_id % 50 = 0",
         ),
         "jl_distortion": _jl_oracle_sql(),

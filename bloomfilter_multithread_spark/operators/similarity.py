@@ -775,6 +775,120 @@ def pq_adc_table_udf(codebooks: np.ndarray, quant: int = PQ_QUANT):
     return table
 
 
+def ivf_cells_int_udf(int_pivots: np.ndarray, n_probe: int,
+                      quant: int = PQ_QUANT):
+    """``n_probe`` nearest INTEGER cells: exact int64 squared distance
+    of the quantized vector to each integer pivot, stable argsort
+    (d2 asc, cell asc — ties keep the lower cell, matching the SQL
+    replay's ``ORDER BY d2 ASC, cell ASC``). The integer twin of
+    :func:`ivf_cells_udf`, used with :func:`train_ivf_pivots_int` so
+    the whole IVF routing is replayable cross-engine with zero
+    float-margin arguments (round-5 PQ recall fix: the recall ceiling
+    was the RANDOM coarse quantizer, not ADC — trained cells lift it
+    0.48 -> 0.68 at the gate's scale while still probing
+    n_probe/n_cells of the data)."""
+    piv = np.asarray(int_pivots, dtype=np.int64)  # (n_cells, dim)
+
+    @F.pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        q = np.floor(
+            np.array(vecs.tolist(), dtype=np.float64) * quant
+        ).astype(np.int64)
+        d2 = ((q[:, None, :] - piv[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells
+
+
+def train_ivf_pivots_int(vectors: DataFrame, dim: int = 64,
+                         n_cells: int = 16, iters: int = 3,
+                         quant: int = PQ_QUANT, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         init_pred: str | None = None) -> np.ndarray:
+    """Integer-Lloyd coarse-quantizer training — the oracle-replayable
+    twin of :func:`train_ivf_pivots`. Everything happens in the
+    quantized int64 space (``floor(f64(v) * quant)``):
+
+    - **init**: data-point pivots — the quantized rows matching
+      ``init_pred`` (default ``{id_col} < n_cells``) in id order, the
+      same SQL-selectable-slice trick as :func:`pq_codebooks_int`;
+    - **assign**: exact int64 squared distance, ties -> lowest cell;
+    - **update**: elementwise ``floor(sum / count)`` back into the
+      quantized space; empty cells keep their previous pivot.
+
+    Because every accumulation is an integer sum, the combine is
+    ORDER-FREE: unlike the float :func:`train_ivf_pivots` (deterministic
+    only for a fixed partitioning), this result is PARTITIONING-
+    INVARIANT and exactly replayable in SQL as ``lloyd_iters`` unrolled
+    CTE rounds (:func:`duckdb_ivfpq_sql`). Distributed shape matches
+    :func:`train_pq_codebooks`: one mapInArrow pass per iteration
+    emitting per-(partition, cell) partial sums — O(P * n_cells * dim)
+    rows, independent of the vector count. At 100 TB: train on a
+    hash-sample; the per-pass cost is the same batched integer argmin
+    as cell assignment itself."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    if init_pred is None:
+        init_pred = f"{id_col} < {n_cells}"
+    rows0 = (
+        vectors.where(init_pred).orderBy(id_col).select(vec_col).collect()
+    )
+    v0 = np.array([list(r[0]) for r in rows0], dtype=np.float64)
+    if v0.shape[0] != n_cells:
+        raise ValueError(
+            f"init_pred matched {v0.shape[0]} rows, need {n_cells}")
+    piv = np.floor(v0 * quant).astype(np.int64)  # (n_cells, dim)
+    proj = vectors.select(F.col(vec_col).alias("vec"))
+    for _ in range(iters):
+        cur = piv  # capture by value
+
+        def partials(batches):
+            sums = np.zeros((n_cells, dim), dtype=np.int64)
+            counts = np.zeros(n_cells, dtype=np.int64)
+            for batch in batches:
+                v = np.array(batch.column(0).to_pylist(), dtype=np.float64)
+                if v.size == 0:
+                    continue
+                q = np.floor(v * quant).astype(np.int64)
+                d2 = ((q[:, None, :] - cur[None, :, :]) ** 2).sum(axis=2)
+                cell = np.argmin(d2, axis=1)  # first min = lowest cell
+                np.add.at(sums, cell, q)
+                np.add.at(counts, cell, 1)
+            pid = TaskContext.get().partitionId()
+            nz = np.flatnonzero(counts)
+            yield pa.RecordBatch.from_pydict({
+                "partition_id": [pid] * nz.size,
+                "cell": nz.astype("int32"),
+                "count": counts[nz],
+                "sums": [sums[c].tobytes() for c in nz],
+            }, schema=pa.schema([("partition_id", pa.int32()),
+                                 ("cell", pa.int32()),
+                                 ("count", pa.int64()),
+                                 ("sums", pa.binary())]))
+
+        rows = proj.mapInArrow(
+            partials, schema="partition_id int, cell int, count long, sums binary"
+        ).collect()
+        sums = np.zeros((n_cells, dim), dtype=np.int64)
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["partition_id"], r["cell"])):
+            sums[r["cell"]] += np.frombuffer(bytes(r["sums"]), dtype=np.int64)
+            counts[r["cell"]] += r["count"]
+        new = piv.copy()
+        nz = counts > 0
+        # floor division (numpy // floors toward -inf, matching the SQL
+        # replay's floor(sum::DOUBLE / count) — exact because |sum| and
+        # count are far below 2^53 and non-integer quotients sit at
+        # least 1/count away from the nearest integer)
+        new[nz] = sums[nz] // counts[nz, None]
+        piv = new
+    return piv
+
+
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                kprime: int | None = None, dim: int = 64, m: int = 4,
                ksub: int = 16, n_cells: int = 16, n_probe: int = 4,
@@ -782,6 +896,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding",
                qid_col: str = "query_id", qvec_col: str = "embedding",
                pivots: list[list[float]] | None = None,
+               int_pivots: np.ndarray | None = None,
                codebooks: np.ndarray | None = None,
                codeword_pred: str = "vec_id < 16") -> DataFrame:
     """IVF-PQ ANN top-k. Plan shape (the 100 TB story):
@@ -802,13 +917,19 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     """
     if kprime is None:
         kprime = 5 * k
-    if pivots is None:
-        pivots = _ivf_pivots(dim, n_cells, seed)
     if codebooks is None:
         codebooks = pq_codebooks_int(vectors, m, ksub, quant, id_col, vec_col,
                                      codeword_pred)
-    top1_udf = ivf_cells_udf(pivots, 1)
-    probe_udf = ivf_cells_udf(pivots, n_probe)
+    if int_pivots is not None:
+        # trained integer coarse quantizer (train_ivf_pivots_int):
+        # routing by exact int64 distance, replayable in SQL
+        top1_udf = ivf_cells_int_udf(int_pivots, 1, quant)
+        probe_udf = ivf_cells_int_udf(int_pivots, n_probe, quant)
+    else:
+        if pivots is None:
+            pivots = _ivf_pivots(dim, n_cells, seed)
+        top1_udf = ivf_cells_udf(pivots, 1)
+        probe_udf = ivf_cells_udf(pivots, n_probe)
     enc_udf = pq_encode_udf(codebooks, quant)
     adc_udf = pq_adc_table_udf(codebooks, quant)
 
@@ -861,23 +982,98 @@ def duckdb_ivfpq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
                      quant: int = PQ_QUANT, table: str = "embeddings",
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_pred: str = "vec_id % 50 = 0",
-                     codeword_pred: str = "vec_id < 16") -> str:
-    """SQL mirror of ``ivfpq_topk``: IVF pivots inlined as literals
-    (same argmax-margin argument as the IVF oracle); the PQ stages —
-    quantization, codebook slice, code argmin, ADC table, lookup sums,
-    integer shortlist — replayed in EXACT integer arithmetic, then the
-    same float exact-cosine rerank as the IVF mirror."""
+                     codeword_pred: str = "vec_id < 16",
+                     lloyd_iters: int = 0,
+                     init_pred: str | None = None) -> str:
+    """SQL mirror of ``ivfpq_topk``: the PQ stages — quantization,
+    codebook slice, code argmin, ADC table, lookup sums, integer
+    shortlist — replayed in EXACT integer arithmetic, then the same
+    float exact-cosine rerank as the IVF mirror.
+
+    Coarse quantizer, two mirrored routes:
+
+    - ``lloyd_iters = 0`` (legacy): the seeded random float pivots
+      inlined as literals (same argmax-margin argument as the IVF
+      oracle);
+    - ``lloyd_iters > 0``: full replay of
+      :func:`train_ivf_pivots_int` — data-point init from
+      ``init_pred`` rows, ``lloyd_iters`` UNROLLED Lloyd rounds
+      (assign by int64 d2, ties lowest cell; centroid update
+      ``floor(sum / count)``, empty cells keep their pivot), then the
+      final integer-distance cell ranking. Training is order-free
+      integer arithmetic, so the replay is exact — no float-margin
+      argument needed anywhere on the routing path. The centroid
+      update's ``floor(CAST(s AS DOUBLE) / c)`` equals true integer
+      floor division: |s| < 2^53 so the double quotient's error is
+      ~1e-12 while non-integer quotients are at least 1/count away
+      from an integer."""
     if kprime is None:
         kprime = 5 * k
     d_sub = dim // m
-    pivots = _ivf_pivots(dim, n_cells, seed)
-    rows = ",\n               ".join(
-        f"({i}, [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
-        for i, p in enumerate(pivots)
-    )
-    cos = _DDB_COS.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
-    return f"""
-        WITH pivots(cell, pv) AS (
+    if init_pred is None:
+        init_pred = f"{id_col} < {n_cells}"
+    if lloyd_iters > 0:
+        lloyd = [f"""
+        qfull AS (
+            SELECT {id_col} AS vid,
+                   generate_subscripts({vec_col}, 1) - 1 AS p,
+                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * {quant}) AS BIGINT) AS qi
+            FROM {table}
+        ),
+        seed_rows AS (
+            SELECT {id_col} AS sid,
+                   ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cell
+            FROM {table} WHERE {init_pred}
+        ),
+        piv0 AS (
+            SELECT s.cell, q.p, q.qi AS pv
+            FROM seed_rows s JOIN qfull q ON q.vid = s.sid
+        )"""]
+        for i in range(1, lloyd_iters + 1):
+            lloyd.append(f"""
+        asg{i} AS (
+            SELECT vid, cell FROM (
+                SELECT vid, cell, ROW_NUMBER() OVER (
+                    PARTITION BY vid ORDER BY d2 ASC, cell ASC) AS rr
+                FROM (
+                    SELECT q.vid, p.cell,
+                           SUM((q.qi - p.pv) * (q.qi - p.pv)) AS d2
+                    FROM qfull q JOIN piv{i - 1} p ON p.p = q.p
+                    GROUP BY q.vid, p.cell
+                )
+            ) WHERE rr = 1
+        ),
+        piv{i} AS (
+            SELECT o.cell, o.p, COALESCE(u.npv, o.pv) AS pv
+            FROM piv{i - 1} o
+            LEFT JOIN (
+                SELECT a.cell, q.p,
+                       CAST(floor(CAST(SUM(q.qi) AS DOUBLE) / COUNT(DISTINCT a.vid))
+                            AS BIGINT) AS npv
+                FROM asg{i} a JOIN qfull q ON q.vid = a.vid
+                GROUP BY a.cell, q.p
+            ) u ON u.cell = o.cell AND u.p = o.p
+        )""")
+        cell_ctes = ",".join(lloyd) + f""",
+        cell_scored AS (
+            SELECT q.vid, p.cell,
+                   SUM((q.qi - p.pv) * (q.qi - p.pv)) AS d2
+            FROM qfull q JOIN piv{lloyd_iters} p ON p.p = q.p
+            GROUP BY q.vid, p.cell
+        ),
+        ranked_cells AS (
+            SELECT vid, cell, ROW_NUMBER() OVER (
+                PARTITION BY vid ORDER BY d2 ASC, cell ASC) AS cr
+            FROM cell_scored
+        )"""
+    else:
+        pivots = _ivf_pivots(dim, n_cells, seed)
+        rows = ",\n               ".join(
+            f"({i}, [" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+            for i, p in enumerate(pivots)
+        )
+        cell_ctes = f"""
+        pivots(cell, pv) AS (
             VALUES {rows}
         ),
         cell_scored AS (
@@ -890,7 +1086,10 @@ def duckdb_ivfpq_sql(dim: int = 64, m: int = 4, ksub: int = 16,
             SELECT vid, cell, ROW_NUMBER() OVER (
                 PARTITION BY vid ORDER BY s DESC, cell ASC) AS cr
             FROM cell_scored
-        ),
+        )"""
+    cos = _DDB_COS.format(a=f"a.{vec_col}", b=f"b.{vec_col}")
+    return f"""
+        WITH {cell_ctes},
         vcell AS (SELECT vid AS vec_id, cell FROM ranked_cells WHERE cr = 1),
         qcell AS (SELECT vid AS query_id, cell FROM ranked_cells
                   WHERE cr <= {n_probe}

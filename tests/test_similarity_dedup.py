@@ -597,6 +597,87 @@ class TestIVFPQ:
 
         assert mean_recall(t1) >= mean_recall(init)
 
+    def test_trained_int_pivots_invariant_and_match_numpy(self, spark, emb):
+        """train_ivf_pivots_int is PARTITIONING-INVARIANT (integer sums
+        are order-free — the property that lets the SQL oracle replay
+        training) and equals an independent pure-numpy Lloyd model."""
+        import numpy as np
+
+        from bloomfilter_multithread_spark.operators.similarity import (
+            PQ_QUANT,
+            train_ivf_pivots_int,
+        )
+
+        p1 = train_ivf_pivots_int(emb, dim=64, n_cells=16, iters=3)
+        p2 = train_ivf_pivots_int(emb.repartition(7), dim=64, n_cells=16,
+                                  iters=3)
+        assert (p1 == p2).all()
+
+        rows = sorted((r["vec_id"], list(r["embedding"]))
+                      for r in emb.collect())
+        ids = np.array([r[0] for r in rows])
+        q = np.floor(
+            np.array([r[1] for r in rows], dtype=np.float64) * PQ_QUANT
+        ).astype(np.int64)
+        piv = q[ids < 16].copy()
+        for _ in range(3):
+            d2 = ((q[:, None, :] - piv[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(d2, axis=1)
+            new = piv.copy()
+            for c in range(16):
+                msk = cell == c
+                if msk.any():
+                    new[c] = q[msk].sum(axis=0) // msk.sum()
+            piv = new
+        assert (p1 == piv).all()
+
+    def test_contract_config_recall_floor(self, spark, emb):
+        """VERDICT r4 #4 done-criterion: the contract configuration
+        (trained integer cells, m=16, ksub=64, kprime=100, n_probe=4)
+        holds mean recall@10 >= 0.55 — within 0 of the trained-IVF
+        ceiling at this scale (the ADC cost is fully isolated away;
+        the r4 config's 0.40 was the RANDOM coarse quantizer's fault,
+        not ADC's)."""
+        from bloomfilter_multithread_spark.operators.similarity import (
+            ivfpq_topk,
+            train_ivf_pivots_int,
+            with_recall,
+        )
+
+        q = emb.where("vec_id % 50 = 0")
+        piv = train_ivf_pivots_int(emb, dim=64, n_cells=16, iters=3)
+        res = with_recall(
+            ivfpq_topk(emb, q, k=10, kprime=100, m=16, ksub=64,
+                       n_cells=16, n_probe=4, qid_col="vec_id",
+                       int_pivots=piv, codeword_pred="vec_id < 64"),
+            brute_force_topk(emb, q, k=10, qid_col="vec_id"), k=10,
+        ).collect()
+        per_q = {r["query_id"]: r["recall_bp"] for r in res}
+        assert sum(per_q.values()) / len(per_q) >= 5500, per_q
+
+    def test_kprime_all_is_independent_of_pq_config(self, spark, emb):
+        """ADC isolation invariant: with kprime = all candidates the
+        shortlist filters nothing, so the (m, ksub) choice cannot
+        change the result — coarse (4,16) and fine (16,64) codes give
+        the IDENTICAL exact-reranked top-k over the same trained
+        cells."""
+        from bloomfilter_multithread_spark.operators.similarity import (
+            ivfpq_topk,
+            train_ivf_pivots_int,
+        )
+
+        q = emb.where("vec_id % 50 = 0")
+        piv = train_ivf_pivots_int(emb, dim=64, n_cells=16, iters=3)
+        n = emb.count()
+        coarse = ivfpq_topk(emb, q, k=10, kprime=n, m=4, ksub=16,
+                            qid_col="vec_id", int_pivots=piv)
+        fine = ivfpq_topk(emb, q, k=10, kprime=n, m=16, ksub=64,
+                          qid_col="vec_id", int_pivots=piv,
+                          codeword_pred="vec_id < 64")
+        a = sorted(map(tuple, coarse.collect()))
+        b = sorted(map(tuple, fine.collect()))
+        assert a == b
+
 
 class TestSemanticDedup:
     def test_planted_copy_is_dropped_and_points_at_its_leader(self, spark, emb):
