@@ -271,17 +271,105 @@ def duckdb_bpe_words_sql(base_chars: list[str], merges: list[tuple[str, str]],
     """
 
 
+_SENTINEL = "\x1f"  # symbol-boundary marker in the replace-chain mirror
+
+
+def duckdb_bpe_words_replace_sql(base_chars: list[str],
+                                 merges: list[tuple[str, str]],
+                                 words_cte: str, batch: int = 32) -> str:
+    """Vocab-SCALE mirror of the BPE encoder (VERDICT r4 #3): applies
+    the merges IN RANK ORDER as chained literal ``replace()`` stages
+    over a sentinel-delimited symbol string, instead of the recursive
+    CTE's per-level lowest-rank scan (whose cost is
+    O(word_len^2 * n_merges) string compares per word — fine at 40
+    merges, prohibitive at 1k+).
+
+    Equivalence to :func:`encode_word`'s leftmost-lowest-rank loop is
+    exact, by two classic BPE facts (test-pinned both ways):
+
+    1. applying one merge's occurrences left-to-right is what a single
+       non-overlapping string ``replace()`` does (overlaps included:
+       'a a a' + (a,a) -> 'aa a');
+    2. merging (l, r) -> lr can never CREATE an occurrence of any pair
+       (l', r') with rank <= rank(l, r): the new adjacencies are
+       (prev, lr) and (lr, next), and lr — a strictly longer, newly
+       created symbol — cannot equal a component of an earlier merge
+       (training could only build earlier merges from symbols that
+       existed before it). So processing merges once each, in rank
+       order, reaches the same fixed point as lowest-rank-first.
+
+    Each word is encoded as ``<US>sym<US>`` units concatenated
+    (``<US>`` = \\x1f, asserted absent from the corpus by the pinned-
+    training script); merge (l, r) is the literal substring swap
+    ``<US>l<US><US>r<US>`` -> ``<US>lr<US>``, boundary-safe by
+    construction. ``batch`` merges are applied per CTE stage as nested
+    replace() calls (expression depth stays small); token ids come
+    from a hash-join against a VALUES vocab table, not a linear
+    list_position scan. Yields (w, n_tokens, token_id_sum) like
+    :func:`duckdb_bpe_words_sql`."""
+    S = _SENTINEL
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    stages = []
+    n_stage = 0
+    for lo in range(0, len(merges), batch):
+        expr = "s"
+        for l, r in merges[lo:lo + batch]:
+            expr = (f"replace({expr}, {q(S + l + S + S + r + S)}, "
+                    f"{q(S + l + r + S)})")
+        stages.append(
+            f"bpe_s{n_stage + 1} AS (SELECT w, {expr} AS s FROM bpe_s{n_stage})"
+        )
+        n_stage += 1
+    vocab_rows = ", ".join(
+        f"({i + 1}, {q(sym)})"
+        for i, sym in enumerate(vocab_list(base_chars, merges))
+    )
+    stage_sql = ",\n        ".join(stages)
+    return f"""
+        bpe_words AS ({words_cte}),
+        bpe_s0 AS (
+            SELECT w,
+                   {q(S)} || array_to_string(string_split_regex(w, ''), {q(S + S)}) || {q(S)} AS s
+            FROM bpe_words
+        ),
+        {stage_sql},
+        bpe_vocab(id, sym) AS (VALUES {vocab_rows}),
+        bpe_syms AS (
+            SELECT w, unnest(string_split(trim(s, {q(S)}), {q(S + S)})) AS sym
+            FROM bpe_s{n_stage}
+        ),
+        bpe_tokens AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(COALESCE(v.id, 0)) AS BIGINT) AS token_id_sum
+            FROM bpe_syms LEFT JOIN bpe_vocab v USING (sym)
+            GROUP BY w
+        )
+    """
+
+
 def duckdb_doc_token_stats_sql(base_chars: list[str], merges: list[tuple[str, str]],
                                table: str = "documents", id_col: str = "doc_id",
-                               text_col: str = "text") -> str:
-    """Full mirror of :func:`doc_token_stats` over ``table``."""
+                               text_col: str = "text",
+                               encoder: str = "recursive") -> str:
+    """Full mirror of :func:`doc_token_stats` over ``table``.
+    ``encoder='recursive'`` uses the per-level lowest-rank recursive
+    CTE (the didactic form, fine for small merge tables);
+    ``encoder='replace'`` uses the rank-order chained-replace form
+    that scales to 1k+ merges. Both are exact and test-pinned equal."""
     words_cte = f"""
         SELECT DISTINCT w FROM (
             SELECT unnest(regexp_split_to_array(trim({text_col}), '[ \\t\\n\\x0B\\f\\r]+')) AS w
             FROM {table}) u
         WHERE w <> ''
     """
-    head = duckdb_bpe_words_sql(base_chars, merges, words_cte)
+    if encoder == "replace":
+        head = "WITH " + duckdb_bpe_words_replace_sql(base_chars, merges,
+                                                      words_cte)
+    else:
+        head = duckdb_bpe_words_sql(base_chars, merges, words_cte)
     return f"""{head},
         wc AS (
             SELECT {id_col}, w, COUNT(*) AS cnt FROM (
@@ -307,3 +395,10 @@ def duckdb_doc_token_stats_sql(base_chars: list[str], merges: list[tuple[str, st
 
 PINNED_BASE: list[str] = ['a', 'b', 'c', 'd', 'e', 'f', 'g', 'h', 'i', 'j', 'k', 'l', 'm', 'n', 'o', 'p', 'q', 'r', 's', 't', 'u', 'v', 'w', 'y']
 PINNED_MERGES: list[tuple[str, str]] = [('e', 'r'), ('i', 'n'), ('o', 'w'), ('o', 'r'), ('s', 't'), ('m', 'er'), ('a', 't'), ('l', 'u'), ('a', 'r'), ('p', 'ar'), ('j', 'o'), ('jo', 'in'), ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'), ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'), ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'u'), ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('cu', 'st'), ('cust', 'o'), ('custo', 'mer'), ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'), ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow')]
+
+# vocabulary-scale table (round 5): 1,024 merges trained on the sf0.01
+# tokenizer union (documents.text + customer.c_name + events.props) by
+# scripts/train_pinned_bpe.py — min_count=1, deterministic
+PINNED_BASE_1K: list[str] = ['"', '#', '0', '1', '2', '3', '4', '5', '6', '7', '8', '9', ':', 'C', 'a', 'b', 'c', 'd', 'e', 'f', 'g', 'h', 'i', 'j', 'k', 'l', 'm', 'n', 'o', 'p', 'q', 'r', 's', 't', 'u', 'v', 'w', 'y', '{', '}']
+PINNED_MERGES_1K: list[tuple[str, str]] = [('"', ':'), ('"', 'k'), ('"k', '":'), ('{', '"k":'), ('0', '0'), ('e', 'r'), ('s', 't'), ('m', 'er'), ('i', 'n'), ('o', 'w'), ('o', 'r'), ('00', '00'), ('o', 'mer'), ('st', 'omer'), ('u', 'stomer'), ('a', 't'), ('l', 'u'), ('a', 'r'), ('p', 'ar'), ('#', '0000'), ('C', 'ustomer'), ('Customer', '#0000'), ('9', '}'), ('3', '}'), ('5', '}'), ('6', '}'), ('8', '}'), ('Customer#0000', '00'), ('4', '}'), ('2', '}'), ('0', '}'), ('7', '}'), ('1', '}'), ('j', 'o'), ('jo', 'in'), ('a', 's'), ('as', 'h'), ('h', 'ash'), ('r', 'ow'), ('at', 'c'), ('atc', 'h'), ('b', 'atch'), ('a', 'n'), ('c', 'an'), ('s', 'can'), ('c', 'o'), ('c', 'ustomer'), ('co', 'lu'), ('colu', 'm'), ('colum', 'n'), ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er'), ('a', 'l'), ('al', 'l'), ('m', 'all'), ('s', 'mall'), ('g', 'e'), ('l', 'ow'), ('mer', 'ge'), ('s', 'low'), ('c', 't'), ('ct', 'or'), ('d', 'er'), ('e', 'ctor'), ('or', 'der'), ('v', 'ector'), ('in', 'e'), ('l', 'ine'), ('a', 'b'), ('ab', 'l'), ('abl', 'e'), ('at', 'a'), ('d', 'ata'), ('t', 'able'), ('u', 'p'), ('a', 'g'), ('ag', 'g'), ('a', 'lu'), ('alu', 'e'), ('v', 'alue'), ('e', 'y'), ('k', 'ey'), ('a', 'm'), ('e', 'am'), ('r', 'eam'), ('st', 'ream'), ('d', 'ow'), ('in', 'dow'), ('w', 'indow'), ('par', 'k'), ('s', 'park'), ('g', 'r'), ('gr', 'o'), ('gro', 'up'), ('par', 't'), ('b', 'i'), ('bi', 'g'), ('or', 't'), ('s', 'ort'), ('er', 'y'), ('q', 'u'), ('qu', 'ery'), ('a', 'st'), ('f', 'ast'), ('h', 'e'), ('t', 'he'), ('0', '1'), ('Customer#0000', '01'), ('9', '9}'), ('5', '8}'), ('8', '4}'), ('1', '5}'), ('3', '6}'), ('8', '7}'), ('4', '3}'), ('7', '0}'), ('9', '5}'), ('6', '9}'), ('7', '1}'), ('4', '9}'), ('5', '4}'), ('8', '8}'), ('9', '3}'), ('9', '6}'), ('3', '7}'), ('6', '2}'), ('1', '6}'), ('2', '3}'), ('8', '3}'), ('5', '5}'), ('1', '9}'), ('2', '6}'), ('4', '7}'), ('8', '0}'), ('7', '3}'), ('3', '0}'), ('1', '0}'), ('6', '1}'), ('7', '2}'), ('4', '5}'), ('5', '9}'), ('6', '0}'), ('8', '2}'), ('9', '7}'), ('2', '2}'), ('3', '9}'), ('5', '3}'), ('7', '5}'), ('1', '3}'), ('9', '4}'), ('5', '1}'), ('5', '6}'), ('6', '4}'), ('8', '6}'), ('8', '9}'), ('9', '1}'), ('Customer#000000', '1'), ('Customer#000000', '2'), ('Customer#000000', '3'), ('Customer#000000', '4'), ('Customer#000000', '5'), ('Customer#000000', '6'), ('Customer#000000', '7'), ('Customer#000000', '8'), ('Customer#000000', '9'), ('Customer#000001', '1'), ('Customer#000001', '2'), ('Customer#000001', '3'), ('Customer#000001', '4'), ('4', '2}'), ('3', '3}'), ('4', '8}'), ('3', '2}'), ('3', '5}'), ('3', '8}'), ('4', '4}'), ('6', '5}'), ('2', '1}'), ('2', '4}'), ('2', '8}'), ('1', '7}'), ('1', '8}'), ('5', '2}'), ('5', '7}'), ('6', '8}'), ('7', '4}'), ('8', '1}'), ('9', '8}'), ('1', '4}'), ('2', '5}'), ('9', '0}'), ('7', '6}'), ('8', '5}'), ('5', '0}'), ('6', '3}'), ('6', '6}'), ('7', '7}'), ('1', '2}'), ('2', '0}'), ('2', '7}'), ('4', '1}'), ('7', '8}'), ('3', '1}'), ('7', '9}'), ('4', '6}'), ('9', '2}'), ('4', '0}'), ('1', '1}'), ('2', '9}'), ('3', '4}'), ('Customer#000000', '0'), ('Customer#000001', '0'), ('6', '7}'), ('d', 'up'), ('2', '0'), ('2', '1'), ('2', '2'), ('2', '3'), ('2', '4'), ('2', '5'), ('2', '6'), ('2', '7'), ('2', '8'), ('2', '9'), ('3', '0'), ('3', '1'), ('3', '2'), ('3', '3'), ('3', '4'), ('3', '5'), ('3', '6'), ('3', '7'), ('3', '8'), ('3', '9'), ('4', '0'), ('4', '1'), ('4', '2'), ('4', '3'), ('4', '4'), ('4', '5'), ('4', '6'), ('4', '7'), ('4', '8'), ('4', '9'), ('5', '0'), ('5', '1'), ('5', '2'), ('5', '3'), ('5', '4'), ('5', '5'), ('5', '6'), ('5', '7'), ('5', '8'), ('5', '9'), ('6', '0'), ('6', '1'), ('6', '2'), ('6', '3'), ('6', '4'), ('6', '5'), ('6', '6'), ('6', '7'), ('6', '8'), ('6', '9'), ('7', '0'), ('7', '1'), ('7', '2'), ('7', '3'), ('7', '4'), ('7', '5'), ('7', '6'), ('7', '7'), ('7', '8'), ('7', '9'), ('8', '0'), ('8', '1'), ('8', '2'), ('8', '3'), ('8', '4'), ('8', '5'), ('8', '6'), ('8', '7'), ('8', '8'), ('8', '9'), ('9', '0'), ('9', '1'), ('9', '2'), ('9', '3'), ('9', '4'), ('9', '5'), ('9', '6'), ('9', '7'), ('9', '8'), ('9', '9'), ('0', '2'), ('0', '3'), ('0', '4'), ('0', '5'), ('0', '6'), ('0', '7'), ('0', '8'), ('0', '9'), ('1', '0'), ('1', '1'), ('1', '2'), ('1', '3'), ('1', '4'), ('1', '5'), ('1', '6'), ('1', '7'), ('1', '8'), ('1', '9'), ('Customer#0000', '0000'), ('Customer#000000', '01'), ('Customer#000001', '00'), ('Customer#000001', '01'), ('Customer#0000000', '20'), ('Customer#0000000', '21'), ('Customer#0000000', '22'), ('Customer#0000000', '23'), ('Customer#0000000', '24'), ('Customer#0000000', '25'), ('Customer#0000000', '26'), ('Customer#0000000', '27'), ('Customer#0000000', '28'), ('Customer#0000000', '29'), ('Customer#0000000', '30'), ('Customer#0000000', '31'), ('Customer#0000000', '32'), ('Customer#0000000', '33'), ('Customer#0000000', '34'), ('Customer#0000000', '35'), ('Customer#0000000', '36'), ('Customer#0000000', '37'), ('Customer#0000000', '38'), ('Customer#0000000', '39'), ('Customer#0000000', '40'), ('Customer#0000000', '41'), ('Customer#0000000', '42'), ('Customer#0000000', '43'), ('Customer#0000000', '44'), ('Customer#0000000', '45'), ('Customer#0000000', '46'), ('Customer#0000000', '47'), ('Customer#0000000', '48'), ('Customer#0000000', '49'), ('Customer#0000000', '50'), ('Customer#0000000', '51'), ('Customer#0000000', '52'), ('Customer#0000000', '53'), ('Customer#0000000', '54'), ('Customer#0000000', '55'), ('Customer#0000000', '56'), ('Customer#0000000', '57'), ('Customer#0000000', '58'), ('Customer#0000000', '59'), ('Customer#0000000', '60'), ('Customer#0000000', '61'), ('Customer#0000000', '62'), ('Customer#0000000', '63'), ('Customer#0000000', '64'), ('Customer#0000000', '65'), ('Customer#0000000', '66'), ('Customer#0000000', '67'), ('Customer#0000000', '68'), ('Customer#0000000', '69'), ('Customer#0000000', '70'), ('Customer#0000000', '71'), ('Customer#0000000', '72'), ('Customer#0000000', '73'), ('Customer#0000000', '74'), ('Customer#0000000', '75'), ('Customer#0000000', '76'), ('Customer#0000000', '77'), ('Customer#0000000', '78'), ('Customer#0000000', '79'), ('Customer#0000000', '80'), ('Customer#0000000', '81'), ('Customer#0000000', '82'), ('Customer#0000000', '83'), ('Customer#0000000', '84'), ('Customer#0000000', '85'), ('Customer#0000000', '86'), ('Customer#0000000', '87'), ('Customer#0000000', '88'), ('Customer#0000000', '89'), ('Customer#0000000', '90'), ('Customer#0000000', '91'), ('Customer#0000000', '92'), ('Customer#0000000', '93'), ('Customer#0000000', '94'), ('Customer#0000000', '95'), ('Customer#0000000', '96'), ('Customer#0000000', '97'), ('Customer#0000000', '98'), ('Customer#0000000', '99'), ('Customer#00000000', '0'), ('Customer#00000000', '1'), ('Customer#00000000', '2'), ('Customer#00000000', '3'), ('Customer#00000000', '4'), ('Customer#00000000', '5'), ('Customer#00000000', '6'), ('Customer#00000000', '7'), ('Customer#00000000', '8'), ('Customer#00000000', '9'), ('Customer#00000001', '0'), ('Customer#00000001', '1'), ('Customer#00000001', '2'), ('Customer#00000001', '3'), ('Customer#00000001', '4'), ('Customer#00000001', '5'), ('Customer#00000001', '6'), ('Customer#00000001', '7'), ('Customer#00000001', '8'), ('Customer#00000001', '9'), ('Customer#0000001', '00'), ('Customer#0000001', '01'), ('Customer#0000001', '02'), ('Customer#0000001', '03'), ('Customer#0000001', '04'), ('Customer#0000001', '05'), ('Customer#0000001', '06'), ('Customer#0000001', '07'), ('Customer#0000001', '08'), ('Customer#0000001', '09'), ('Customer#0000001', '10'), ('Customer#0000001', '11'), ('Customer#0000001', '12'), ('Customer#0000001', '13'), ('Customer#0000001', '14'), ('Customer#0000001', '15'), ('Customer#0000001', '16'), ('Customer#0000001', '17'), ('Customer#0000001', '18'), ('Customer#0000001', '19'), ('Customer#0000001', '20'), ('Customer#0000001', '21'), ('Customer#0000001', '22'), ('Customer#0000001', '23'), ('Customer#0000001', '24'), ('Customer#0000001', '25'), ('Customer#0000001', '26'), ('Customer#0000001', '27'), ('Customer#0000001', '28'), ('Customer#0000001', '29'), ('Customer#0000001', '30'), ('Customer#0000001', '31'), ('Customer#0000001', '32'), ('Customer#0000001', '33'), ('Customer#0000001', '34'), ('Customer#0000001', '35'), ('Customer#0000001', '36'), ('Customer#0000001', '37'), ('Customer#0000001', '38'), ('Customer#0000001', '39'), ('Customer#0000001', '40'), ('Customer#0000001', '41'), ('Customer#0000001', '42'), ('Customer#0000001', '43'), ('Customer#0000001', '44'), ('Customer#0000001', '45'), ('Customer#0000001', '46'), ('Customer#0000001', '47'), ('Customer#0000001', '48'), ('Customer#0000001', '49'), ('Customer#0000001', '50'), ('Customer#0000001', '51'), ('Customer#0000001', '52'), ('Customer#0000001', '53'), ('Customer#0000001', '54'), ('Customer#0000001', '55'), ('Customer#0000001', '56'), ('Customer#0000001', '57'), ('Customer#0000001', '58'), ('Customer#0000001', '59'), ('Customer#0000001', '60'), ('Customer#0000001', '61'), ('Customer#0000001', '62'), ('Customer#0000001', '63'), ('Customer#0000001', '64'), ('Customer#0000001', '65'), ('Customer#0000001', '66'), ('Customer#0000001', '67'), ('Customer#0000001', '68'), ('Customer#0000001', '69'), ('Customer#0000001', '70'), ('Customer#0000001', '71'), ('Customer#0000001', '72'), ('Customer#0000001', '73'), ('Customer#0000001', '74'), ('Customer#0000001', '75'), ('Customer#0000001', '76'), ('Customer#0000001', '77'), ('Customer#0000001', '78'), ('Customer#0000001', '79'), ('Customer#0000001', '80'), ('Customer#0000001', '81'), ('Customer#0000001', '82'), ('Customer#0000001', '83'), ('Customer#0000001', '84'), ('Customer#0000001', '85'), ('Customer#0000001', '86'), ('Customer#0000001', '87'), ('Customer#0000001', '88'), ('Customer#0000001', '89'), ('Customer#0000001', '90'), ('Customer#0000001', '91'), ('Customer#0000001', '92'), ('Customer#0000001', '93'), ('Customer#0000001', '94'), ('Customer#0000001', '95'), ('Customer#0000001', '96'), ('Customer#0000001', '97'), ('Customer#0000001', '98'), ('Customer#0000001', '99'), ('Customer#0000002', '00'), ('Customer#0000002', '01'), ('Customer#0000002', '02'), ('Customer#0000002', '03'), ('Customer#0000002', '04'), ('Customer#0000002', '05'), ('Customer#0000002', '06'), ('Customer#0000002', '07'), ('Customer#0000002', '08'), ('Customer#0000002', '09'), ('Customer#0000002', '10'), ('Customer#0000002', '11'), ('Customer#0000002', '12'), ('Customer#0000002', '13'), ('Customer#0000002', '14'), ('Customer#0000002', '15'), ('Customer#0000002', '16'), ('Customer#0000002', '17'), ('Customer#0000002', '18'), ('Customer#0000002', '19'), ('Customer#0000002', '20'), ('Customer#0000002', '21'), ('Customer#0000002', '22'), ('Customer#0000002', '23'), ('Customer#0000002', '24'), ('Customer#0000002', '25'), ('Customer#0000002', '26'), ('Customer#0000002', '27'), ('Customer#0000002', '28'), ('Customer#0000002', '29'), ('Customer#0000002', '30'), ('Customer#0000002', '31'), ('Customer#0000002', '32'), ('Customer#0000002', '33'), ('Customer#0000002', '34'), ('Customer#0000002', '35'), ('Customer#0000002', '36'), ('Customer#0000002', '37'), ('Customer#0000002', '38'), ('Customer#0000002', '39'), ('Customer#0000002', '40'), ('Customer#0000002', '41'), ('Customer#0000002', '42'), ('Customer#0000002', '43'), ('Customer#0000002', '44'), ('Customer#0000002', '45'), ('Customer#0000002', '46'), ('Customer#0000002', '47'), ('Customer#0000002', '48'), ('Customer#0000002', '49'), ('Customer#0000002', '50'), ('Customer#0000002', '51'), ('Customer#0000002', '52'), ('Customer#0000002', '53'), ('Customer#0000002', '54'), ('Customer#0000002', '55'), ('Customer#0000002', '56'), ('Customer#0000002', '57'), ('Customer#0000002', '58'), ('Customer#0000002', '59'), ('Customer#0000002', '60'), ('Customer#0000002', '61'), ('Customer#0000002', '62'), ('Customer#0000002', '63'), ('Customer#0000002', '64'), ('Customer#0000002', '65'), ('Customer#0000002', '66'), ('Customer#0000002', '67'), ('Customer#0000002', '68'), ('Customer#0000002', '69'), ('Customer#0000002', '70'), ('Customer#0000002', '71'), ('Customer#0000002', '72'), ('Customer#0000002', '73'), ('Customer#0000002', '74'), ('Customer#0000002', '75'), ('Customer#0000002', '76'), ('Customer#0000002', '77'), ('Customer#0000002', '78'), ('Customer#0000002', '79'), ('Customer#0000002', '80'), ('Customer#0000002', '81'), ('Customer#0000002', '82'), ('Customer#0000002', '83'), ('Customer#0000002', '84'), ('Customer#0000002', '85'), ('Customer#0000002', '86'), ('Customer#0000002', '87'), ('Customer#0000002', '88'), ('Customer#0000002', '89'), ('Customer#0000002', '90'), ('Customer#0000002', '91'), ('Customer#0000002', '92'), ('Customer#0000002', '93'), ('Customer#0000002', '94'), ('Customer#0000002', '95'), ('Customer#0000002', '96'), ('Customer#0000002', '97'), ('Customer#0000002', '98'), ('Customer#0000002', '99'), ('Customer#0000003', '00'), ('Customer#0000003', '01'), ('Customer#0000003', '02'), ('Customer#0000003', '03'), ('Customer#0000003', '04'), ('Customer#0000003', '05'), ('Customer#0000003', '06'), ('Customer#0000003', '07'), ('Customer#0000003', '08'), ('Customer#0000003', '09'), ('Customer#0000003', '10'), ('Customer#0000003', '11'), ('Customer#0000003', '12'), ('Customer#0000003', '13'), ('Customer#0000003', '14'), ('Customer#0000003', '15'), ('Customer#0000003', '16'), ('Customer#0000003', '17'), ('Customer#0000003', '18'), ('Customer#0000003', '19'), ('Customer#0000003', '20'), ('Customer#0000003', '21'), ('Customer#0000003', '22'), ('Customer#0000003', '23'), ('Customer#0000003', '24'), ('Customer#0000003', '25'), ('Customer#0000003', '26'), ('Customer#0000003', '27'), ('Customer#0000003', '28'), ('Customer#0000003', '29'), ('Customer#0000003', '30'), ('Customer#0000003', '31'), ('Customer#0000003', '32'), ('Customer#0000003', '33'), ('Customer#0000003', '34'), ('Customer#0000003', '35'), ('Customer#0000003', '36'), ('Customer#0000003', '37'), ('Customer#0000003', '38'), ('Customer#0000003', '39'), ('Customer#0000003', '40'), ('Customer#0000003', '41'), ('Customer#0000003', '42'), ('Customer#0000003', '43'), ('Customer#0000003', '44'), ('Customer#0000003', '45'), ('Customer#0000003', '46'), ('Customer#0000003', '47'), ('Customer#0000003', '48'), ('Customer#0000003', '49'), ('Customer#0000003', '50'), ('Customer#0000003', '51'), ('Customer#0000003', '52'), ('Customer#0000003', '53'), ('Customer#0000003', '54'), ('Customer#0000003', '55'), ('Customer#0000003', '56'), ('Customer#0000003', '57'), ('Customer#0000003', '58'), ('Customer#0000003', '59'), ('Customer#0000003', '60'), ('Customer#0000003', '61'), ('Customer#0000003', '62'), ('Customer#0000003', '63'), ('Customer#0000003', '64'), ('Customer#0000003', '65'), ('Customer#0000003', '66'), ('Customer#0000003', '67'), ('Customer#0000003', '68'), ('Customer#0000003', '69'), ('Customer#0000003', '70'), ('Customer#0000003', '71'), ('Customer#0000003', '72'), ('Customer#0000003', '73'), ('Customer#0000003', '74'), ('Customer#0000003', '75'), ('Customer#0000003', '76'), ('Customer#0000003', '77'), ('Customer#0000003', '78'), ('Customer#0000003', '79'), ('Customer#0000003', '80'), ('Customer#0000003', '81'), ('Customer#0000003', '82'), ('Customer#0000003', '83'), ('Customer#0000003', '84'), ('Customer#0000003', '85'), ('Customer#0000003', '86'), ('Customer#0000003', '87'), ('Customer#0000003', '88'), ('Customer#0000003', '89'), ('Customer#0000003', '90'), ('Customer#0000003', '91'), ('Customer#0000003', '92'), ('Customer#0000003', '93'), ('Customer#0000003', '94'), ('Customer#0000003', '95'), ('Customer#0000003', '96'), ('Customer#0000003', '97'), ('Customer#0000003', '98'), ('Customer#0000003', '99'), ('Customer#0000004', '00'), ('Customer#0000004', '01'), ('Customer#0000004', '02'), ('Customer#0000004', '03'), ('Customer#0000004', '04'), ('Customer#0000004', '05'), ('Customer#0000004', '06'), ('Customer#0000004', '07'), ('Customer#0000004', '08'), ('Customer#0000004', '09'), ('Customer#0000004', '10'), ('Customer#0000004', '11'), ('Customer#0000004', '12'), ('Customer#0000004', '13'), ('Customer#0000004', '14'), ('Customer#0000004', '15'), ('Customer#0000004', '16'), ('Customer#0000004', '17'), ('Customer#0000004', '18'), ('Customer#0000004', '19'), ('Customer#0000004', '20'), ('Customer#0000004', '21'), ('Customer#0000004', '22'), ('Customer#0000004', '23'), ('Customer#0000004', '24'), ('Customer#0000004', '25'), ('Customer#0000004', '26'), ('Customer#0000004', '27'), ('Customer#0000004', '28'), ('Customer#0000004', '29'), ('Customer#0000004', '30'), ('Customer#0000004', '31'), ('Customer#0000004', '32'), ('Customer#0000004', '33'), ('Customer#0000004', '34'), ('Customer#0000004', '35'), ('Customer#0000004', '36'), ('Customer#0000004', '37'), ('Customer#0000004', '38'), ('Customer#0000004', '39'), ('Customer#0000004', '40'), ('Customer#0000004', '41'), ('Customer#0000004', '42'), ('Customer#0000004', '43'), ('Customer#0000004', '44'), ('Customer#0000004', '45'), ('Customer#0000004', '46'), ('Customer#0000004', '47'), ('Customer#0000004', '48'), ('Customer#0000004', '49'), ('Customer#0000004', '50'), ('Customer#0000004', '51'), ('Customer#0000004', '52'), ('Customer#0000004', '53'), ('Customer#0000004', '54'), ('Customer#0000004', '55'), ('Customer#0000004', '56'), ('Customer#0000004', '57'), ('Customer#0000004', '58'), ('Customer#0000004', '59'), ('Customer#0000004', '60'), ('Customer#0000004', '61'), ('Customer#0000004', '62'), ('Customer#0000004', '63'), ('Customer#0000004', '64'), ('Customer#0000004', '65'), ('Customer#0000004', '66'), ('Customer#0000004', '67'), ('Customer#0000004', '68'), ('Customer#0000004', '69'), ('Customer#0000004', '70'), ('Customer#0000004', '71'), ('Customer#0000004', '72'), ('Customer#0000004', '73'), ('Customer#0000004', '74'), ('Customer#0000004', '75'), ('Customer#0000004', '76'), ('Customer#0000004', '77'), ('Customer#0000004', '78'), ('Customer#0000004', '79'), ('Customer#0000004', '80'), ('Customer#0000004', '81'), ('Customer#0000004', '82'), ('Customer#0000004', '83'), ('Customer#0000004', '84'), ('Customer#0000004', '85'), ('Customer#0000004', '86'), ('Customer#0000004', '87'), ('Customer#0000004', '88'), ('Customer#0000004', '89'), ('Customer#0000004', '90'), ('Customer#0000004', '91'), ('Customer#0000004', '92'), ('Customer#0000004', '93'), ('Customer#0000004', '94'), ('Customer#0000004', '95'), ('Customer#0000004', '96'), ('Customer#0000004', '97'), ('Customer#0000004', '98'), ('Customer#0000004', '99'), ('Customer#0000005', '00'), ('Customer#0000005', '01'), ('Customer#0000005', '02'), ('Customer#0000005', '03'), ('Customer#0000005', '04'), ('Customer#0000005', '05'), ('Customer#0000005', '06'), ('Customer#0000005', '07'), ('Customer#0000005', '08'), ('Customer#0000005', '09'), ('Customer#0000005', '10'), ('Customer#0000005', '11'), ('Customer#0000005', '12'), ('Customer#0000005', '13'), ('Customer#0000005', '14'), ('Customer#0000005', '15'), ('Customer#0000005', '16'), ('Customer#0000005', '17'), ('Customer#0000005', '18'), ('Customer#0000005', '19'), ('Customer#0000005', '20'), ('Customer#0000005', '21'), ('Customer#0000005', '22'), ('Customer#0000005', '23'), ('Customer#0000005', '24'), ('Customer#0000005', '25'), ('Customer#0000005', '26'), ('Customer#0000005', '27'), ('Customer#0000005', '28'), ('Customer#0000005', '29'), ('Customer#0000005', '30'), ('Customer#0000005', '31'), ('Customer#0000005', '32'), ('Customer#0000005', '33'), ('Customer#0000005', '34'), ('Customer#0000005', '35'), ('Customer#0000005', '36'), ('Customer#0000005', '37'), ('Customer#0000005', '38'), ('Customer#0000005', '39'), ('Customer#0000005', '40'), ('Customer#0000005', '41'), ('Customer#0000005', '42'), ('Customer#0000005', '43'), ('Customer#0000005', '44'), ('Customer#0000005', '45'), ('Customer#0000005', '46'), ('Customer#0000005', '47'), ('Customer#0000005', '48'), ('Customer#0000005', '49'), ('Customer#0000005', '50'), ('Customer#0000005', '51'), ('Customer#0000005', '52'), ('Customer#0000005', '53'), ('Customer#0000005', '54'), ('Customer#0000005', '55'), ('Customer#0000005', '56'), ('Customer#0000005', '57'), ('Customer#0000005', '58'), ('Customer#0000005', '59'), ('Customer#0000005', '60'), ('Customer#0000005', '61'), ('Customer#0000005', '62'), ('Customer#0000005', '63'), ('Customer#0000005', '64'), ('Customer#0000005', '65'), ('Customer#0000005', '66'), ('Customer#0000005', '67'), ('Customer#0000005', '68'), ('Customer#0000005', '69'), ('Customer#0000005', '70'), ('Customer#0000005', '71'), ('Customer#0000005', '72'), ('Customer#0000005', '73'), ('Customer#0000005', '74'), ('Customer#0000005', '75'), ('Customer#0000005', '76'), ('Customer#0000005', '77'), ('Customer#0000005', '78'), ('Customer#0000005', '79'), ('Customer#0000005', '80'), ('Customer#0000005', '81'), ('Customer#0000005', '82'), ('Customer#0000005', '83'), ('Customer#0000005', '84'), ('Customer#0000005', '85'), ('Customer#0000005', '86'), ('Customer#0000005', '87'), ('Customer#0000005', '88'), ('Customer#0000005', '89'), ('Customer#0000005', '90'), ('Customer#0000005', '91'), ('Customer#0000005', '92'), ('Customer#0000005', '93'), ('Customer#0000005', '94'), ('Customer#0000005', '95'), ('Customer#0000005', '96'), ('Customer#0000005', '97'), ('Customer#0000005', '98'), ('Customer#0000005', '99'), ('Customer#0000006', '00'), ('Customer#0000006', '01'), ('Customer#0000006', '02'), ('Customer#0000006', '03'), ('Customer#0000006', '04'), ('Customer#0000006', '05'), ('Customer#0000006', '06'), ('Customer#0000006', '07'), ('Customer#0000006', '08'), ('Customer#0000006', '09'), ('Customer#0000006', '10'), ('Customer#0000006', '11'), ('Customer#0000006', '12'), ('Customer#0000006', '13'), ('Customer#0000006', '14'), ('Customer#0000006', '15'), ('Customer#0000006', '16'), ('Customer#0000006', '17'), ('Customer#0000006', '18'), ('Customer#0000006', '19'), ('Customer#0000006', '20'), ('Customer#0000006', '21'), ('Customer#0000006', '22'), ('Customer#0000006', '23'), ('Customer#0000006', '24'), ('Customer#0000006', '25'), ('Customer#0000006', '26'), ('Customer#0000006', '27'), ('Customer#0000006', '28'), ('Customer#0000006', '29'), ('Customer#0000006', '30'), ('Customer#0000006', '31'), ('Customer#0000006', '32'), ('Customer#0000006', '33'), ('Customer#0000006', '34'), ('Customer#0000006', '35'), ('Customer#0000006', '36'), ('Customer#0000006', '37'), ('Customer#0000006', '38'), ('Customer#0000006', '39'), ('Customer#0000006', '40'), ('Customer#0000006', '41'), ('Customer#0000006', '42'), ('Customer#0000006', '43'), ('Customer#0000006', '44'), ('Customer#0000006', '45'), ('Customer#0000006', '46'), ('Customer#0000006', '47'), ('Customer#0000006', '48'), ('Customer#0000006', '49'), ('Customer#0000006', '50'), ('Customer#0000006', '51'), ('Customer#0000006', '52'), ('Customer#0000006', '53'), ('Customer#0000006', '54'), ('Customer#0000006', '55'), ('Customer#0000006', '56'), ('Customer#0000006', '57'), ('Customer#0000006', '58'), ('Customer#0000006', '59'), ('Customer#0000006', '60'), ('Customer#0000006', '61'), ('Customer#0000006', '62'), ('Customer#0000006', '63'), ('Customer#0000006', '64'), ('Customer#0000006', '65'), ('Customer#0000006', '66'), ('Customer#0000006', '67'), ('Customer#0000006', '68'), ('Customer#0000006', '69'), ('Customer#0000006', '70'), ('Customer#0000006', '71'), ('Customer#0000006', '72'), ('Customer#0000006', '73'), ('Customer#0000006', '74'), ('Customer#0000006', '75'), ('Customer#0000006', '76'), ('Customer#0000006', '77'), ('Customer#0000006', '78'), ('Customer#0000006', '79'), ('Customer#0000006', '80'), ('Customer#0000006', '81'), ('Customer#0000006', '82'), ('Customer#0000006', '83'), ('Customer#0000006', '84'), ('Customer#0000006', '85'), ('Customer#0000006', '86'), ('Customer#0000006', '87'), ('Customer#0000006', '88'), ('Customer#0000006', '89'), ('Customer#0000006', '90'), ('Customer#0000006', '91'), ('Customer#0000006', '92'), ('Customer#0000006', '93'), ('Customer#0000006', '94'), ('Customer#0000006', '95'), ('Customer#0000006', '96'), ('Customer#0000006', '97'), ('Customer#0000006', '98'), ('Customer#0000006', '99'), ('Customer#0000007', '00'), ('Customer#0000007', '01'), ('Customer#0000007', '02'), ('Customer#0000007', '03'), ('Customer#0000007', '04'), ('Customer#0000007', '05')]
+

@@ -166,3 +166,137 @@ class TestDocStats:
         assert i_map != -1
         # a HashAggregate (the distinct) sits below the python stage
         assert "HashAggregate" in plan[i_map:]
+
+
+class TestVocabScale:
+    """Round-5 (VERDICT r4 #3): the 1,024-merge pinned table and the
+    rank-order chained-replace oracle that absorbs it."""
+
+    def test_pinned_1k_table_is_vocab_scale(self):
+        from bloomfilter_multithread_spark.operators.tokenizer import (
+            PINNED_BASE_1K,
+            PINNED_MERGES_1K,
+        )
+
+        assert len(PINNED_MERGES_1K) >= 1024
+        assert len(set(PINNED_MERGES_1K)) == len(PINNED_MERGES_1K)
+        # every merge component is a previously-created symbol
+        known = set(PINNED_BASE_1K)
+        for l, r in PINNED_MERGES_1K:
+            assert l in known and r in known, (l, r)
+            known.add(l + r)
+
+    def test_replace_mirror_equals_recursive_cte(self):
+        """The two SQL encoders are the SAME function: rank-order
+        chained replace == per-level lowest-rank recursion, on the real
+        corpus vocabulary and on adversarial overlap/nesting tables."""
+        from bloomfilter_multithread_spark.operators.tokenizer import (
+            duckdb_bpe_words_replace_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        words_cte = """
+            SELECT DISTINCT w FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+                FROM documents) u WHERE w <> ''
+        """
+        a = con.execute(
+            duckdb_bpe_words_sql(PINNED_BASE, PINNED_MERGES, words_cte)
+            + " SELECT * FROM bpe_tokens ORDER BY w"
+        ).fetchall()
+        b = con.execute(
+            "WITH "
+            + duckdb_bpe_words_replace_sql(PINNED_BASE, PINNED_MERGES, words_cte)
+            + " SELECT * FROM bpe_tokens ORDER BY w"
+        ).fetchall()
+        assert a == b and len(a) > 10
+
+        base = ["a", "b"]
+        merges = [("a", "a"), ("aa", "b"), ("b", "b"), ("a", "aab")]
+        words = ["aaa", "aaaa", "aabb", "aaabbaab", "abab", "b", "a", "aaab"]
+        wcte = "SELECT unnest(['" + "','".join(words) + "']) AS w"
+        r1 = con.execute(
+            duckdb_bpe_words_sql(base, merges, wcte)
+            + " SELECT * FROM bpe_tokens ORDER BY w").fetchall()
+        r2 = con.execute(
+            "WITH " + duckdb_bpe_words_replace_sql(base, merges, wcte, batch=2)
+            + " SELECT * FROM bpe_tokens ORDER BY w").fetchall()
+        assert r1 == r2
+        ranks = {p: i + 1 for i, p in enumerate(merges)}
+        ids = {s: i + 1 for i, s in enumerate(vocab_list(base, merges))}
+        want = sorted(
+            (w, len(encode_word(w, ranks)),
+             sum(ids.get(t, 0) for t in encode_word(w, ranks)))
+            for w in words
+        )
+        assert [tuple(r) for r in r2] == want
+
+    def test_1k_spark_encode_matches_replace_oracle_wordwise(self, spark):
+        """Word-level parity at the full 1,024-merge scale over the
+        tokenizer union's vocabulary."""
+        from bloomfilter_multithread_spark.operators.tokenizer import (
+            PINNED_BASE_1K,
+            PINNED_MERGES_1K,
+            duckdb_bpe_words_replace_sql,
+            encode_words,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        words = (
+            docs.select(F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("w"))
+            .unionByName(cust.select(F.col("c_name").alias("w")))
+            .where(F.col("w") != "")
+            .distinct()
+        )
+        got = {
+            r["w"]: (r["n_tokens"], r["token_id_sum"])
+            for r in encode_words(words, PINNED_BASE_1K, PINNED_MERGES_1K).collect()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+        con.execute(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')")
+        wcte = """
+            SELECT DISTINCT w FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+                FROM documents
+                UNION ALL SELECT c_name AS w FROM customer) u WHERE w <> ''
+        """
+        want = {
+            w: (n, s) for w, n, s in con.execute(
+                "WITH "
+                + duckdb_bpe_words_replace_sql(PINNED_BASE_1K, PINNED_MERGES_1K, wcte)
+                + " SELECT w, n_tokens, token_id_sum FROM bpe_tokens"
+            ).fetchall()
+        }
+        assert got == want and len(got) > 150
+
+    def test_contract_encode_stays_off_the_corpus_scan(self, spark):
+        """VERDICT r4 #3 done-criterion plan assertion: in the
+        1,024-merge contract query the Python encoder's ONLY input
+        column is the distinct word (the plan aggregates to the word
+        table before MapInPandas) — encoding cost is O(vocabulary), it
+        never rides the corpus scan."""
+        import re
+
+        import __spark_entry__ as entry
+
+        df = entry.queries()["token_count_real"](spark, SF)
+        fmt = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        sections = re.split(r"\n\(\d+\) ", "\n" + fmt)
+        maps = [s for s in sections if s.split("\n", 1)[0].strip()
+                .startswith("MapInPandas")]
+        assert len(maps) == 1
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", maps[0])
+        cols = [c.strip().split("#")[0] for c in m.group(1).split(",")]
+        assert cols == ["w"], cols
+        # and a distinct-word aggregate feeds it
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        i_map = plan.find("MapInPandas")
+        assert re.search(r"HashAggregate\(keys=\[w#", plan[i_map:])
