@@ -447,16 +447,33 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     entropy of the last band is one bit lower."""
     sigs = simhash_signatures(df, id_col, text_col,
                               n_bits=min(n_bits, 63), hasher=hasher)
+    return banded_hamming_pairs(sigs, id_col, "simhash",
+                                max_hamming=max_hamming, bands=bands,
+                                n_bits=n_bits)
+
+
+def banded_hamming_pairs(sigs: DataFrame, id_col: str,
+                         sig_col: str = "simhash", max_hamming: int = 3,
+                         bands: int = 4, n_bits: int = 64) -> DataFrame:
+    """Generic banded Hamming near-dup join over any integer signature
+    column — the machinery behind :func:`simhash_near_dups`, shared
+    with perceptual media dedup (``multimodal.dhash_signatures``):
+    band the signature into ``bands`` chunks (pigeonhole: hamming <=
+    bands-1 guarantees a shared band), bucket-equi-join on (band_idx,
+    band_val), then confirm with an exact popcount on the full
+    signatures. Returns (id_a, id_b, hamming). Exchanges carry only
+    (id, signature, band) longs — never the payload the signature was
+    derived from."""
     width = n_bits // bands
     banded = sigs.select(
         F.col(id_col).alias("_id"),
-        "simhash",
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band_idx"),
-                        F.shiftrightunsigned("simhash", bi * width)
+                        F.shiftrightunsigned(sig_col, bi * width)
                         .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
                         .alias("band_val"),
                     )
@@ -464,7 +481,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
                 ]
             )
         ).alias("bnd"),
-    ).select("_id", "simhash", "bnd.band_idx", "bnd.band_val")
+    ).select("_id", "_sig", "bnd.band_idx", "bnd.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -476,7 +493,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -290,6 +290,137 @@ def synth_real_media(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# perceptual near-dup (round 5, VERDICT r4 #5): dHash over decoded pixels
+# --------------------------------------------------------------------------
+
+# textured closed-form pixel family for the near-dup gate. The
+# multimodal_decode formula is LINEAR in (x, y, c), so its horizontal
+# gradient sign is almost everywhere constant and distinct images
+# collide under any gradient hash; this family mixes through a
+# square-mod step (v^2 + v mod p, p prime) so gradient signs are
+# pseudo-random per cell (measured: mean pairwise dHash Hamming 30/63,
+# min 6 at the sf0.01 scale) while every intermediate stays < 2^41 —
+# exactly replayable in int64/BIGINT on both engines.
+TEXTURE_P = 1_000_003
+TWIN_OFFSET = 1_000_000
+
+
+def texture_pixel_grid(base: int, w: int, h: int,
+                       perturb: bool = False) -> np.ndarray:
+    """(h, w, 3) uint8: v1 = (base*73856093 + y*19349663 + x*83492791 +
+    c*2971215073) mod p; pixel = ((v1^2 + v1) mod p) mod 256; a
+    perturbed twin adds +1 (mod 256) to channel 0 of pixel (0, 0) — the
+    'one-pixel edit' a perceptual hash must survive."""
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    v1 = (base * 73856093 + y * 19349663 + x * 83492791
+          + c * 2971215073) % TEXTURE_P
+    px = ((v1 * v1 + v1) % TEXTURE_P) % 256
+    if perturb:
+        px = px.copy()
+        px[0, 0, 0] = (px[0, 0, 0] + 1) % 256
+    return px.astype(np.uint8)
+
+
+def synth_textured_images(df: DataFrame, id_col: str = "media_id",
+                          twin_mod: int = 15,
+                          twin_offset: int = TWIN_OFFSET) -> DataFrame:
+    """Real BMP payloads from the textured formula: ids with id % 3 == 0
+    become base images (w = 4 + id % 13, h = 4 + id % 11 — the
+    multimodal_decode dimensions); ids with id % twin_mod == 0
+    ADDITIONALLY emit a near-identical twin (media_id = id +
+    twin_offset, one perturbed pixel). The planted ground truth for
+    the media_neardup gate; an oracle recomputes every pixel from the
+    closed form without parsing a container byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 3 != 0:
+                    continue
+                w, h = 4 + mid % 13, 4 + mid % 11
+                rows.append((mid, "image", "image/bmp",
+                             encode_bmp(texture_pixel_grid(mid, w, h))))
+                if mid % twin_mod == 0:
+                    rows.append((mid + twin_offset, "image", "image/bmp",
+                                 encode_bmp(texture_pixel_grid(mid, w, h,
+                                                               perturb=True))))
+            out = pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload"])
+            out["media_id"] = out["media_id"].astype("int64")
+            yield out
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema="media_id long, kind string, mime string, payload binary"
+    )
+
+
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+
+
+def dhash_signatures(df: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """63-bit difference hash over the DECODED pixel grid: decode_bmp →
+    integer grayscale (channel sum, no /3 — stays exact) → sample a
+    9x8 grid at (gy*h div 8, gx*w div 9) → bit (gy*8 + gx) = 1 iff
+    cell[gy, gx+1] > cell[gy, gx] (the last of the 64 gradient bits is
+    dropped to stay in the signed-long-safe 63 bits the banded-Hamming
+    machinery uses, same clamp as simhash_signatures).
+
+    Grid values are SAMPLED, not block-averaged: the gate's images can
+    be smaller than the grid (w >= 4), where block means have empty
+    cells, and nearest-sample is a pure integer function both engines
+    replay exactly. One narrow mapInPandas; the payload never leaves
+    this stage — downstream joins see (id, dhash) longs only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_bmp(bytes(p)).astype(np.int64)
+                h, w, _ = px.shape
+                gray = px.sum(axis=2)
+                sy = (np.arange(DHASH_GRID_H) * h) // DHASH_GRID_H
+                sx = (np.arange(DHASH_GRID_W) * w) // DHASH_GRID_W
+                cells = gray[np.ix_(sy, sx)]
+                sig = 0
+                for gy in range(DHASH_GRID_H):
+                    for gx in range(DHASH_GRID_W - 1):
+                        idx = gy * (DHASH_GRID_W - 1) + gx
+                        if idx >= 63:
+                            continue
+                        if cells[gy, gx + 1] > cells[gy, gx]:
+                            sig |= 1 << idx
+                rows.append((int(mid), sig))
+            out = pd.DataFrame(rows, columns=[id_col, "dhash"])
+            out[id_col] = out[id_col].astype("int64")
+            out["dhash"] = out["dhash"].astype("int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, dhash long"
+    )
+
+
+def media_near_dups(media: DataFrame, id_col: str = "media_id",
+                    payload_col: str = "payload", max_hamming: int = 3,
+                    bands: int = 4) -> DataFrame:
+    """Perceptual image near-dup: dHash signatures + the SAME banded
+    Hamming join + exact popcount confirm the text SimHash path uses
+    (dedup.banded_hamming_pairs). bands=4 over 63 effective bits keeps
+    the pigeonhole recall guarantee for hamming <= 3. At 100 TB the
+    payload is read once by the signature stage; everything shuffled
+    afterwards is 16 bytes per image."""
+    from .dedup import banded_hamming_pairs
+
+    sigs = dhash_signatures(media, id_col, payload_col)
+    return banded_hamming_pairs(sigs, id_col, "dhash",
+                                max_hamming=max_hamming, bands=bands,
+                                n_bits=64)
+
+
 def decode_stats(df: DataFrame, payload_col: str = "payload",
                  mime_col: str = "mime") -> DataFrame:
     """Parse each payload with the REAL decoder for its mime and emit

@@ -233,3 +233,85 @@ def test_synth_real_media_video_only_batch_yields_empty_cleanly(spark):
     media = synth_real_media(ids, "media_id")
     assert media.count() == 0
     assert decode_stats(media).count() == 0
+
+
+class TestMediaNearDup:
+    """Round-5 perceptual dedup: dHash over DECODED pixels + the shared
+    banded-Hamming machinery."""
+
+    def test_dhash_survives_the_codec_roundtrip(self, spark):
+        """dhash(decode_bmp(encode_bmp(grid))) == dhash computed on the
+        formula grid directly — the signature reads the DECODED pixels,
+        so a stride/flip/channel-order bug would shift it."""
+        import numpy as np
+
+        from bloomfilter_multithread_spark.operators.multimodal import (
+            DHASH_GRID_H,
+            DHASH_GRID_W,
+            dhash_signatures,
+            synth_textured_images,
+            texture_pixel_grid,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(0, 90, 3)],
+                                    "media_id long")
+        media = synth_textured_images(ids)
+        got = {r["media_id"]: r["dhash"]
+               for r in dhash_signatures(media).collect()}
+
+        def model(base, pert):
+            w, h = 4 + base % 13, 4 + base % 11
+            gray = texture_pixel_grid(base, w, h, pert).astype(np.int64).sum(axis=2)
+            sy = (np.arange(DHASH_GRID_H) * h) // DHASH_GRID_H
+            sx = (np.arange(DHASH_GRID_W) * w) // DHASH_GRID_W
+            cells = gray[np.ix_(sy, sx)]
+            sig = 0
+            for gy in range(DHASH_GRID_H):
+                for gx in range(DHASH_GRID_W - 1):
+                    idx = gy * (DHASH_GRID_W - 1) + gx
+                    if idx < 63 and cells[gy, gx + 1] > cells[gy, gx]:
+                        sig |= 1 << idx
+            return sig
+
+        assert len(got) > 30  # bases + twins
+        for mid, sig in got.items():
+            base = mid - 1_000_000 if mid >= 1_000_000 else mid
+            assert sig == model(base, mid >= 1_000_000), mid
+
+    def test_planted_twins_found_and_nothing_else_at_gate_scale(self, spark):
+        from bloomfilter_multithread_spark.operators.multimodal import (
+            TWIN_OFFSET,
+            media_near_dups,
+            synth_textured_images,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(500)], "media_id long")
+        pairs = media_near_dups(synth_textured_images(ids)).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        want = {(i, i + TWIN_OFFSET) for i in range(0, 500, 15)}
+        assert got == want
+        assert all(r["hamming"] <= 1 for r in pairs)
+
+    def test_no_exchange_carries_payload_or_pixels(self, spark):
+        """The BMP bytes die inside the signature stage: every exchange
+        in the near-dup plan carries (id, dhash, band) longs only."""
+        import re
+
+        from bloomfilter_multithread_spark.operators.multimodal import (
+            media_near_dups,
+            synth_textured_images,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(60)], "media_id long")
+        df = media_near_dups(synth_textured_images(ids))
+        fmt = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in fmt
+        assert "BroadcastNestedLoopJoin" not in fmt
+        for sec in re.split(r"\n\(\d+\) ", "\n" + fmt):
+            head = sec.split("\n", 1)[0].strip()
+            if not head.startswith("Exchange"):
+                continue
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            cols = m.group(1) if m else ""
+            assert not re.search(r"(payload|pixel)#", cols), (head, cols)
