@@ -3403,49 +3403,86 @@ def _q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Contract queries. ORDERING CONTRACT (VERDICT r3 task 1): the
-    driver's CORRECTNESS artifact records only the FIRST 50 dict
-    entries, so positions 1-50 are reserved for (a) queries never
-    driver-verified in rounds 1-3 plus this round's new queries
-    (including the late round-4 additions `semantic_dedup`,
-    `mixture_sample`, `grouped_heavy_hitters`), then (b) queries last
-    verified in rounds 1-2, then (c) a rotation of round-3-verified
-    queries. Everything from position 51 on has at least one driver-
-    verified CORRECTNESS row from rounds 1-3 and is re-checked by the
-    local mirror (tests/test_entry_contract.py) every run. The five
-    slots freed for (a) were `hll_distinct` / `cms_heavy_users` /
-    `kll_quantiles` / `tdigest_quantiles` / `minhash_neardup` — each
-    driver-green in rounds 1, 2 AND 3; five more (`bloom_semijoin` /
-    `runtime_filter_semijoin` / `kmv_setops` round-3 driver-green,
-    `transcript_hll_convs` rounds-1+2 driver-green,
-    `ann_topk_lsh` rounds-2+3 driver-green — all unchanged since) were
-    rotated to the tail to make room for the late round-4 additions
-    `nll_buckets`, `epoch_shuffle`, `e2e_pipeline`, `gopher_rules` and
-    `line_dedup`; finally `fingerprint` / `multimodal_frames` /
-    `transcript_seen_text` / `transcript_latency_quantiles` (each
-    driver-green in rounds 1 AND 2, unchanged since) were rotated to
-    the tail for the selection-family additions `dup_spans`,
-    `quality_classifier`, `dsir_select` and `token_entropy`.
-    `multimodal_features` and `incremental_neardup` stay in the window
-    despite earlier driver rows because their behavior changed this
-    round (rows-only -> hash-exact oracle; build/probe state split).
-    `bloom_fpr` (rounds 1+2 driver-green, unchanged) rotated to the
-    tail for `temperature_mixture`; `minimizer_windows` (round-2
-    driver-green, unchanged) rotated to the tail for `unicode_nfc`;
-    `supershingle_segments` (round-2 driver-green, unchanged) rotated
-    to the tail for `decayed_counts`; `sessionize_tool_runs` (round-2
-    driver-green, unchanged) rotated to the tail for
-    `hdr_latency_quantiles`; `bloom_salted_skew` and
-    `streaming_seen_text` (each round-2 driver-green, unchanged)
-    rotated to the tail for `url_canonical` and `domain_caps`;
-    `checkpoint_resume_seen_text` (round-2 driver-green, unchanged)
-    rotated to the tail for `group_split`."""
+    """Contract queries. ORDERING CONTRACT (VERDICT r3 task 1, rotated
+    per VERDICT r4 task 1): the driver's CORRECTNESS artifact records
+    only the FIRST 50 dict entries, so the round-5 window is, in order:
+
+    (a) the five queries never driver-verified in rounds 1-4
+        (source_overlap, split_leakage, export_manifest, vocab_growth,
+        stream_heavy_hitters — r4's disclosed rotation debt);
+    (b) the twelve queries whose last driver-green row dates from
+        rounds 1/2 (transcript_hll_convs ... checkpoint_resume_seen_text
+        — VERDICT r4 preamble list, verbatim);
+    (c) the round-5 NEW queries (media_neardup,
+        semantic_dedup_incremental);
+    (d) queries whose BEHAVIOR changed in round 5 — token_count_real
+        (1,024-merge vocabulary + replace-chain oracle), ann_topk_pq
+        (trained integer-Lloyd cells, m=16/ksub=64), simhash_neardup /
+        incremental_neardup (banded_hamming_pairs extraction),
+        semantic_dedup (module refactor), multimodal_decode /
+        multimodal_features (module gained the perceptual-dedup family);
+    (e) re-confirmations of round-4 queries whose modules round 5
+        touched (the explicit-whitespace-class sweep over every
+        tokenizer/oracle pair) plus the remaining r4-new queries.
+
+    With this rotation every query on the surface has a driver-green
+    CORRECTNESS row within the last two rounds once r5 records:
+    positions 51+ are all r3/r4 driver-verified and unchanged, and are
+    re-checked by the all-query local mirror
+    (tests/test_entry_contract.py) every run. Surface growth this round
+    (+2) stayed far below the rotation budget (VERDICT r4 task 8)."""
     return {
-        "topk_orders": _q_topk_orders,
+        "source_overlap": _q_source_overlap,
+        "split_leakage": _q_split_leakage,
+        "export_manifest": _q_export_manifest,
+        "vocab_growth": _q_vocab_growth,
+        "stream_heavy_hitters": _q_stream_heavy_hitters,
+        "transcript_hll_convs": _q_transcript_hll_convs,
+        "fingerprint": _q_fingerprint,
+        "multimodal_frames": _q_multimodal_frames,
+        "transcript_seen_text": _q_transcript_seen_text,
+        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
+        "bloom_fpr": _q_bloom_fpr,
+        "minimizer_windows": _q_minimizer_windows,
+        "supershingle_segments": _q_supershingle_segments,
+        "sessionize_tool_runs": _q_sessionize_tool_runs,
+        "bloom_salted_skew": _q_bloom_salted_skew,
+        "streaming_seen_text": _q_streaming_seen_text,
+        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
+        "media_neardup": _q_media_neardup,
+        "semantic_dedup_incremental": _q_semantic_dedup_incremental,
+        "token_count_real": _q_token_count_real,
+        "ann_topk_pq": _q_ann_topk_pq,
+        "simhash_neardup": _q_simhash_neardup,
+        "incremental_neardup": _q_incremental_neardup,
+        "semantic_dedup": _q_semantic_dedup,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_features": _q_multimodal_features,
         "bm25_scores": _q_bm25_scores,
         "tfidf_topk": _q_tfidf_topk,
         "chunk_sliding": _q_chunk_sliding,
         "pack_sequences": _q_pack_sequences,
+        "line_dedup": _q_line_dedup,
+        "dup_spans": _q_dup_spans,
+        "quality_classifier": _q_quality_classifier,
+        "dsir_select": _q_dsir_select,
+        "token_entropy": _q_token_entropy,
+        "gopher_rules": _q_gopher_rules,
+        "e2e_pipeline": _q_e2e_pipeline,
+        "unicode_nfc": _q_unicode_nfc,
+        "url_canonical": _q_url_canonical,
+        "domain_caps": _q_domain_caps,
+        "group_split": _q_group_split,
+        "mixture_sample": _q_mixture_sample,
+        "temperature_mixture": _q_temperature_mixture,
+        "nll_buckets": _q_nll_buckets,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "snapshot_diff": _q_snapshot_diff,
+        "sketch_delta_update": _q_sketch_delta_update,
+        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
+        "hdr_latency_quantiles": _q_hdr_latency_quantiles,
+        "compact_files": _q_compact_files,
+        "topk_orders": _q_topk_orders,
         "hash_sample": _q_hash_sample,
         "priority_sample": _q_priority_sample,
         "stratified_sample": _q_stratified_sample,
@@ -3464,35 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_errors": _q_stream_join_errors,
         "stream_dedup_turns": _q_stream_dedup_turns,
         "stream_static_join": _q_stream_static_join,
-        "token_count_real": _q_token_count_real,
-        "compact_files": _q_compact_files,
-        "dup_spans": _q_dup_spans,
-        "quality_classifier": _q_quality_classifier,
-        "dsir_select": _q_dsir_select,
-        "token_entropy": _q_token_entropy,
-        "multimodal_features": _q_multimodal_features,
-        "multimodal_decode": _q_multimodal_decode,
-        "media_neardup": _q_media_neardup,
-        "gopher_rules": _q_gopher_rules,
-        "unicode_nfc": _q_unicode_nfc,
         "decayed_counts": _q_decayed_counts,
-        "hdr_latency_quantiles": _q_hdr_latency_quantiles,
-        "url_canonical": _q_url_canonical,
-        "domain_caps": _q_domain_caps,
-        "group_split": _q_group_split,
-        "temperature_mixture": _q_temperature_mixture,
-        "nll_buckets": _q_nll_buckets,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "semantic_dedup": _q_semantic_dedup,
-        "semantic_dedup_incremental": _q_semantic_dedup_incremental,
-        "mixture_sample": _q_mixture_sample,
-        "snapshot_diff": _q_snapshot_diff,
-        "sketch_delta_update": _q_sketch_delta_update,
-        "grouped_heavy_hitters": _q_grouped_heavy_hitters,
-        "e2e_pipeline": _q_e2e_pipeline,
-        "incremental_neardup": _q_incremental_neardup,
-        "line_dedup": _q_line_dedup,
-        "ann_topk_pq": _q_ann_topk_pq,
         "dedup_exact": _q_dedup_exact,
         "asof_join_events": _q_asof_join_events,
         "bucketed_join": _q_bucketed_join,
@@ -3523,7 +3532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolled_kmer_seen": _q_rolled_kmer_seen,
         "neardup_clusters": _q_neardup_clusters,
         "band_join_events": _q_band_join_events,
-        "simhash_neardup": _q_simhash_neardup,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -3541,29 +3549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "runtime_filter_semijoin": _q_runtime_filter_semijoin,
         "kmv_setops": _q_kmv_setops,
-        "transcript_hll_convs": _q_transcript_hll_convs,
         "ann_topk_lsh": _q_ann_topk_lsh,
-        "fingerprint": _q_fingerprint,
-        "multimodal_frames": _q_multimodal_frames,
-        "transcript_seen_text": _q_transcript_seen_text,
-        "transcript_latency_quantiles": _q_transcript_latency_quantiles,
-        "bloom_fpr": _q_bloom_fpr,
-        "minimizer_windows": _q_minimizer_windows,
-        "supershingle_segments": _q_supershingle_segments,
-        "sessionize_tool_runs": _q_sessionize_tool_runs,
-        "bloom_salted_skew": _q_bloom_salted_skew,
-        "streaming_seen_text": _q_streaming_seen_text,
-        "checkpoint_resume_seen_text": _q_checkpoint_resume_seen_text,
-        # round-4 late addition, first-50 window already committed to
-        # never-driver-verified queries: source_overlap, split_leakage,
-        # export_manifest, vocab_growth and stream_heavy_hitters start
-        # at the tail (local mirror coverage only) and are ROUND-5
-        # ROTATION DEBT - rotate them into the window next round.
-        "source_overlap": _q_source_overlap,
-        "split_leakage": _q_split_leakage,
-        "export_manifest": _q_export_manifest,
-        "vocab_growth": _q_vocab_growth,
-        "stream_heavy_hitters": _q_stream_heavy_hitters,
     }
 
 
