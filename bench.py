@@ -40,6 +40,16 @@ _DEFAULT_BENCH_DIR = (
 )
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", _DEFAULT_BENCH_DIR)
 
+# Queries whose WORKLOAD deliberately changed since the previous
+# recorded round: a >=1.3x delta here is the new work, not a
+# regression. Entries are pruned once the new number becomes the
+# recorded baseline (i.e. after one full-protocol run lands in
+# docs/BENCH_full.json and is committed).
+EXPECTED_WORKLOAD_CHANGES = {
+    "token_count_real": "r5: BPE vocabulary scaled 40 -> 1,024 merges (VERDICT r4 task 3)",
+    "ann_topk_pq": "r5: trained int-Lloyd coarse quantizer + m=16/ksub=64, recall 0.40 -> 0.68 (VERDICT r4 task 4)",
+}
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -497,17 +507,23 @@ def main() -> None:
             if lines:
                 queries_isolated[n] = json.loads(lines[-1])
     # a regression is CONFIRMED only if the isolated median reproduces
-    # it; otherwise it was protocol contention, not the operator
+    # it AND the absolute delta clears the fresh-JVM trial spread
+    # (sub-second queries flap by +-0.3 s across isolated JVMs — a
+    # ratio alone would "confirm" JIT noise); deliberate workload
+    # changes are annotated, not counted
     regressions = {}
     for n in regress_candidates:
         iso = queries_isolated.get(n, {}).get("median")
         confirmed = (iso is not None and prev_queries.get(n)
-                     and iso / prev_queries[n] >= 1.3)
+                     and iso / prev_queries[n] >= 1.3
+                     and iso - prev_queries[n] >= 0.75)
         regressions[n] = {
             "prev": prev_queries[n], "now": results[n],
             "ratio": deltas[n], "isolated": iso,
             "confirmed": bool(confirmed),
         }
+        if n in EXPECTED_WORKLOAD_CHANGES:
+            regressions[n]["expected"] = EXPECTED_WORKLOAD_CHANGES[n]
 
     full = {
         "metric": "headline_queries_plus_build_total",
@@ -565,15 +581,19 @@ def main() -> None:
         "queries": slowest,
         "queries_note": "10 slowest of %d; all timings in docs/BENCH_full.json"
                         % len(results),
-        # contention-free twin of each slow query: fresh-JVM warm median
-        "queries_isolated": {n: d["median"]
-                             for n, d in queries_isolated.items()},
-        # >=1.3x round-over-round candidates; confirmed = the isolated
-        # median reproduces the slowdown (else: protocol contention)
+        # contention-free twin of each slow query: fresh-JVM warm
+        # median (10 slowest only here — every candidate is in the
+        # full-detail file; the stdout line must stay tail-safe)
+        "queries_isolated": {n: queries_isolated[n]["median"]
+                             for n in slowest if n in queries_isolated},
+        # only isolated-CONFIRMED regressions (ratio >=1.3 AND abs
+        # delta >= 0.75 s) or annotated workload changes; the full
+        # candidate table is in docs/BENCH_full.json
         "regressions_vs_prev": {
-            n: {"ratio": r["ratio"], "isolated": r["isolated"],
-                "confirmed": r["confirmed"]}
+            n: {k: r[k] for k in ("ratio", "isolated", "confirmed",
+                                  "expected") if k in r}
             for n, r in regressions.items()
+            if r["confirmed"] or "expected" in r
         },
         "throughput": full["throughput"],
         "scaling": compact_scaling,
