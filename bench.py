@@ -45,9 +45,9 @@ BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", _DEFAULT_BENCH_DIR)
 # regression. Entries are pruned once the new number becomes the
 # recorded baseline (i.e. after one full-protocol run lands in
 # docs/BENCH_full.json and is committed).
-EXPECTED_WORKLOAD_CHANGES = {
-    "token_count_real": "r5: BPE vocabulary scaled 40 -> 1,024 merges (VERDICT r4 task 3)",
-    "ann_topk_pq": "r5: trained int-Lloyd coarse quantizer + m=16/ksub=64, recall 0.40 -> 0.68 (VERDICT r4 task 4)",
+EXPECTED_WORKLOAD_CHANGES: dict[str, str] = {
+    # (r5 entries pruned: the 1,024-merge BPE and retuned-PQ numbers are
+    # now the committed docs/BENCH_full.json baseline.)
 }
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
