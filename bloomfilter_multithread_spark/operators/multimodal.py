@@ -421,6 +421,124 @@ def media_near_dups(media: DataFrame, id_col: str = "media_id",
                                 n_bits=64)
 
 
+# --------------------------------------------------------------------------
+# perceptual audio near-dup (round 5): waveform-gradient fingerprint over
+# decoded PCM samples — the audio twin of the image dHash gate above
+# --------------------------------------------------------------------------
+
+AUDIO_FP_POINTS = 64  # signature bits (63 used) — 65 sampled waveform points
+
+
+def texture_audio_samples(base: int, n: int, perturb: bool = False) -> np.ndarray:
+    """1-D int16 PCM from the same square-mod texture family as
+    :func:`texture_pixel_grid`: v1 = (base*73856093 + i*19349663) mod p;
+    sample = ((v1^2 + v1) mod p) mod 4096 - 2048. The multimodal_decode
+    audio formula is affine in i (its gradient signs are a fixed
+    two-valued pattern), so the near-dup gate needs this mixed family
+    the same way the image gate did — measured at the sf0.1 id range:
+    mean pairwise fingerprint Hamming 31.5/63, non-twin minimum 6.
+    Every intermediate stays < 2^41 — exactly replayable in
+    int64/BIGINT on both engines. A perturbed twin nudges sample 0 by
+    +1 (mod 4096) — the 'one-sample edit' a perceptual hash must
+    survive."""
+    i = np.arange(n, dtype=np.int64)
+    v1 = (base * 73856093 + i * 19349663) % TEXTURE_P
+    s16 = ((v1 * v1 + v1) % TEXTURE_P) % 4096
+    if perturb:
+        s16 = s16.copy()
+        s16[0] = (s16[0] + 1) % 4096
+    return (s16 - 2048).astype(np.int16)
+
+
+def synth_textured_audio(df: DataFrame, id_col: str = "media_id",
+                         twin_mod: int = 15,
+                         twin_offset: int = TWIN_OFFSET) -> DataFrame:
+    """Real PCM-16 WAV payloads from the textured formula: ids with
+    id % 3 == 1 become base clips (n = 64 + id % 64 samples at 8 kHz —
+    the multimodal_decode audio dimensions); ids with id % twin_mod ==
+    1 ADDITIONALLY emit a near-identical twin (media_id = id +
+    twin_offset, one perturbed sample). The planted ground truth for
+    the audio_neardup gate; an oracle recomputes every sampled value
+    from the closed form without parsing a container byte."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 3 != 1:
+                    continue
+                n = 64 + mid % 64
+                rows.append((mid, "audio", "audio/wav",
+                             encode_wav(texture_audio_samples(mid, n))))
+                if mid % twin_mod == 1:
+                    rows.append((mid + twin_offset, "audio", "audio/wav",
+                                 encode_wav(texture_audio_samples(mid, n,
+                                                                  perturb=True))))
+            out = pd.DataFrame(rows, columns=["media_id", "kind", "mime", "payload"])
+            out["media_id"] = out["media_id"].astype("int64")
+            yield out
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema="media_id long, kind string, mime string, payload binary"
+    )
+
+
+def audio_fingerprints(df: DataFrame, id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """63-bit waveform-gradient fingerprint over the DECODED samples —
+    the audio analogue of :func:`dhash_signatures` (a fixed-rate
+    resample + gradient-sign chain, the shape of Haitsma–Kalker audio
+    fingerprinting collapsed to one band): decode_wav → sample 65
+    fixed positions pos_j = (j*n) div 65 (nearest-sample, pure integer,
+    length-invariant across the gate's 64–127-sample clips) → bit j =
+    1 iff s[pos_{j+1}] > s[pos_j], j < 63 (same signed-long-safe 63-bit
+    clamp as simhash/dhash).
+
+    One narrow mapInPandas; the payload never leaves this stage —
+    downstream joins see (id, afp) longs only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                _, s = decode_wav(bytes(p))
+                n = len(s)
+                pos = (np.arange(AUDIO_FP_POINTS + 1, dtype=np.int64) * n) \
+                    // (AUDIO_FP_POINTS + 1)
+                v = s.astype(np.int64)[pos]
+                sig = 0
+                for j in range(63):
+                    if v[j + 1] > v[j]:
+                        sig |= 1 << j
+                rows.append((int(mid), sig))
+            out = pd.DataFrame(rows, columns=[id_col, "afp"])
+            out[id_col] = out[id_col].astype("int64")
+            out["afp"] = out["afp"].astype("int64")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, afp long"
+    )
+
+
+def audio_near_dups(media: DataFrame, id_col: str = "media_id",
+                    payload_col: str = "payload", max_hamming: int = 3,
+                    bands: int = 4) -> DataFrame:
+    """Perceptual audio near-dup: waveform fingerprints + the SAME
+    banded Hamming join + exact popcount confirm the text SimHash and
+    image dHash paths use (dedup.banded_hamming_pairs). bands=4 over 63
+    effective bits keeps the pigeonhole recall guarantee for hamming <=
+    3. At 100 TB the payload is read once by the fingerprint stage;
+    everything shuffled afterwards is 16 bytes per clip."""
+    from .dedup import banded_hamming_pairs
+
+    sigs = audio_fingerprints(media, id_col, payload_col)
+    return banded_hamming_pairs(sigs, id_col, "afp",
+                                max_hamming=max_hamming, bands=bands,
+                                n_bits=64)
+
+
 def decode_stats(df: DataFrame, payload_col: str = "payload",
                  mime_col: str = "mime") -> DataFrame:
     """Parse each payload with the REAL decoder for its mime and emit

@@ -77,7 +77,7 @@ def test_query_matches_oracle(spark, ddb, name):
 # equi-join — no O(N^2) physical join shapes on the public surface
 # (VERDICT.md round-1 'What's wrong' #3)
 PAIR_QUERIES = ["embedding_near_dups", "minhash_neardup", "simhash_neardup",
-                "semantic_dedup"]
+                "semantic_dedup", "media_neardup", "audio_neardup"]
 
 
 @pytest.mark.parametrize("name", PAIR_QUERIES)

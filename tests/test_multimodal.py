@@ -315,3 +315,83 @@ class TestMediaNearDup:
             m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
             cols = m.group(1) if m else ""
             assert not re.search(r"(payload|pixel)#", cols), (head, cols)
+
+
+class TestAudioNearDup:
+    """Round-5 perceptual audio dedup: waveform-gradient fingerprints
+    over DECODED PCM samples + the shared banded-Hamming machinery —
+    the audio twin of TestMediaNearDup."""
+
+    def test_fingerprint_survives_the_codec_roundtrip(self, spark):
+        """afp(decode_wav(encode_wav(samples))) == afp computed on the
+        formula samples directly — the fingerprint reads the DECODED
+        int16 stream, so a byte-order/header-offset bug would shift
+        it."""
+        from bloomfilter_multithread_spark.operators.multimodal import (
+            AUDIO_FP_POINTS,
+            audio_fingerprints,
+            synth_textured_audio,
+            texture_audio_samples,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(1, 91, 3)],
+                                    "media_id long")
+        media = synth_textured_audio(ids)
+        got = {r["media_id"]: r["afp"]
+               for r in audio_fingerprints(media).collect()}
+
+        def model(base, pert):
+            n = 64 + base % 64
+            s = texture_audio_samples(base, n, pert).astype(np.int64)
+            pos = (np.arange(AUDIO_FP_POINTS + 1, dtype=np.int64) * n) \
+                // (AUDIO_FP_POINTS + 1)
+            v = s[pos]
+            sig = 0
+            for j in range(63):
+                if v[j + 1] > v[j]:
+                    sig |= 1 << j
+            return sig
+
+        assert len(got) > 30  # bases + twins
+        for mid, sig in got.items():
+            base = mid - 1_000_000 if mid >= 1_000_000 else mid
+            assert sig == model(base, mid >= 1_000_000), mid
+
+    def test_planted_twins_found_and_nothing_else_at_gate_scale(self, spark):
+        from bloomfilter_multithread_spark.operators.multimodal import (
+            TWIN_OFFSET,
+            audio_near_dups,
+            synth_textured_audio,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(500)], "media_id long")
+        pairs = audio_near_dups(synth_textured_audio(ids)).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        want = {(i, i + TWIN_OFFSET) for i in range(1, 500, 15)}
+        assert got == want
+        assert all(r["hamming"] <= 1 for r in pairs)
+
+    def test_no_exchange_carries_payload_or_samples(self, spark):
+        """The WAV bytes die inside the fingerprint stage: every
+        exchange in the near-dup plan carries (id, afp, band) longs
+        only."""
+        import re
+
+        from bloomfilter_multithread_spark.operators.multimodal import (
+            audio_near_dups,
+            synth_textured_audio,
+        )
+
+        ids = spark.createDataFrame([(i,) for i in range(60)], "media_id long")
+        df = audio_near_dups(synth_textured_audio(ids))
+        fmt = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in fmt
+        assert "BroadcastNestedLoopJoin" not in fmt
+        for sec in re.split(r"\n\(\d+\) ", "\n" + fmt):
+            head = sec.split("\n", 1)[0].strip()
+            if not head.startswith("Exchange"):
+                continue
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            cols = m.group(1) if m else ""
+            assert not re.search(r"(payload|sample)#", cols), (head, cols)
