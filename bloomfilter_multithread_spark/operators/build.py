@@ -92,6 +92,32 @@ _PARTIAL_SCHEMA = pa.schema(
 PARTIAL_DDL = "spec_name string, partition_id int, n_rows long, sketch binary"
 
 
+def _dedup_projection(specs: list[SketchSpec]) -> tuple[list[Column], dict[str, int]]:
+    """Projection with each distinct input expression shipped ONCE, plus a
+    spec-name -> column-index map. Two specs share a column iff their
+    column is the same SQL string and they agree on value-vs-hash and
+    pre_hashed (so the projected expression is identical). Column objects
+    never dedup (no stable identity). The headline 5-sketch build ships
+    ``length(text)`` for BOTH kll and t-digest — as separate columns that
+    is 8 of the 40 bytes/row crossing the exchange + Arrow boundary for
+    no information (measured ~7% of the drain wall at 22M rows)."""
+    cols: list[Column] = []
+    index: dict[str, int] = {}
+    seen: dict[tuple, int] = {}
+    for s in specs:
+        key = (
+            (s.column, s.is_value, s.pre_hashed)
+            if isinstance(s.column, str)
+            else (id(s.column),)
+        )
+        if key in seen:
+            index[s.name] = seen[key]
+            continue
+        seen[key] = index[s.name] = len(cols)
+        cols.append(_input_col(s).alias(f"_c{len(cols)}"))
+    return cols, index
+
+
 def build_partials(df: DataFrame, specs: list[SketchSpec],
                    salt_partitions: int | None = None,
                    route_for: str | None = None,
@@ -113,7 +139,8 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
     to ~m_bits/P (measured: the unrouted build is memory-bandwidth-bound
     at m >= 2^27).
     """
-    proj = df.select(*[_input_col(s) for s in specs])
+    cols, col_index = _dedup_projection(specs)
+    proj = df.select(*cols)
     if route_for:
         spec = next(s for s in specs if s.name == route_for)
         bb = int(spec.params.get("block_bits", 0) or spec.params.get("block_slots", 0))
@@ -122,7 +149,7 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
             raise ValueError(
                 "route_for requires a blocked spec (bloom block_bits / cbf block_slots)")
         nb_log2 = int(math.log2(mb // bb))
-        block = F.shiftrightunsigned(F.col(spec.name), 64 - nb_log2)
+        block = F.shiftrightunsigned(F.col(f"_c{col_index[route_for]}"), 64 - nb_log2)
         nparts = route_partitions or df.sparkSession.sparkContext.defaultParallelism
         proj = proj.repartition(nparts, block)
     elif salt_partitions:
@@ -135,15 +162,17 @@ def build_partials(df: DataFrame, specs: list[SketchSpec],
         # df.repartition(n) ahead of the explode measured 4.35x on a
         # role-skewed fixture where projection-level salting was noise.
         proj = proj.repartition(salt_partitions)
-    spec_list = [(s.name, s.kind, dict(s.params), s.is_value) for s in specs]
+    spec_list = [(s.name, s.kind, dict(s.params), s.is_value, col_index[s.name])
+                 for s in specs]
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        sketches = {name: sketch_class(kind).create(**params) for name, kind, params, _ in spec_list}
+        sketches = {name: sketch_class(kind).create(**params)
+                    for name, kind, params, _, _ in spec_list}
         n = 0
         for batch in batches:
             n += batch.num_rows
-            for i, (name, _, _, is_value) in enumerate(spec_list):
-                col = batch.column(i)
+            for name, _, _, is_value, ci in spec_list:
+                col = batch.column(ci)
                 arr = col.to_numpy(zero_copy_only=False)
                 if is_value:
                     sketches[name].update_values(arr[~np.isnan(arr)] if arr.dtype.kind == "f" else arr)

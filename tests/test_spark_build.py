@@ -136,6 +136,62 @@ class TestBuildMergeProbe:
         exact = corpus.where("tool is not null").select("tool").distinct().count()
         assert abs(sk["h"].estimate() - exact) / max(exact, 1) < 0.1
 
+    def test_dedup_projection_shares_identical_exprs(self):
+        """Specs over the same SQL string + same hash/value treatment ride
+        ONE projected column (the headline build ships length(text) once
+        for kll AND t-digest — 8 of 40 bytes/row across the exchange +
+        Arrow boundary saved); differing pre_hashed/value treatment or
+        Column objects never share."""
+        from bloomfilter_multithread_spark.operators.build import _dedup_projection
+
+        specs = [
+            SketchSpec("b", "bloom", "text", {"m_bits": 1 << 16, "k": 3}),
+            SketchSpec("h", "hll", "conv_id", {"p": 12}),
+            SketchSpec("k", "kll", "length(text)", {"k": 200}),
+            SketchSpec("t", "tdigest", "length(text)", {"delta": 200.0}),
+            # same string as 'b' but pre-hashed -> different expression
+            SketchSpec("b2", "bloom", "text", {"m_bits": 1 << 16, "k": 3},
+                       pre_hashed=True),
+            # Column objects have no stable identity -> never shared
+            SketchSpec("b3", "bloom", F.col("text"), {"m_bits": 1 << 16, "k": 3}),
+        ]
+        cols, index = _dedup_projection(specs)
+        assert len(cols) == 5  # b, h, kll/td shared, b2, b3
+        assert index["k"] == index["t"]
+        assert index["b"] != index["b2"] != index["b3"]
+        assert sorted(set(index.values())) == list(range(5))
+
+    def test_dedup_projection_build_identity(self, spark, corpus):
+        """Sketches built through a shared projected column are identical
+        to independent single-spec builds — including when route_for's
+        column is the shared one (the routed exchange keys off the
+        deduped projection)."""
+        kll_spec = SketchSpec("k", "kll", "length(text)", {"k": 200})
+        td_spec = SketchSpec("t", "tdigest", "length(text)", {"delta": 200.0})
+        b_spec = SketchSpec(
+            "b", "bloom", "text",
+            {"m_bits": 1 << 18, "k": 4, "block_bits": 1 << 12})
+        h_spec = SketchSpec("h", "hll", "text", {"p": 12})  # shares b's column
+        # unrouted: identical partitioning as the solo builds, so even the
+        # partition-SENSITIVE quantile sketches must come out identical
+        shared = build_sketches(corpus, [b_spec, h_spec, kll_spec, td_spec])
+        solo = {
+            s.name: build_sketches(corpus, [s])[s.name]
+            for s in (b_spec, h_spec, kll_spec, td_spec)
+        }
+        assert np.array_equal(shared["b"].bits, solo["b"].bits)
+        assert np.array_equal(shared["h"].registers, solo["h"].registers)
+        for q in (0.1, 0.5, 0.9):
+            assert shared["k"].quantile(q) == solo["k"].quantile(q)
+            assert shared["t"].quantile(q) == pytest.approx(solo["t"].quantile(q))
+        # routed: the exchange keys off the SHARED column; only the
+        # partition-INVARIANT sketches are compared (kll/tdigest are
+        # merge-order-sensitive by design, see partition_count_invariance)
+        routed = build_sketches(corpus, [b_spec, h_spec, kll_spec, td_spec],
+                                route_for="b")
+        assert np.array_equal(routed["b"].bits, solo["b"].bits)
+        assert np.array_equal(routed["h"].registers, solo["h"].registers)
+
 
 class TestShingleSQLParity:
     def test_spark_vs_duckdb_shingles(self, spark, sf_dir):
