@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..sketches import MergeableSketch, sketch_class
 from ..sketches.base import merge_all
-from .build import SketchSpec, _input_col
+from .build import SketchSpec, _dedup_projection
 
 GROUPED_PARTIAL_DDL = "group_key string, spec_name string, n_rows long, sketch binary"
 _GROUPED_SCHEMA = pa.schema(
@@ -57,19 +57,19 @@ def build_sketches_grouped(
     its string form (cast both when joining back). Returns a DataFrame
     (group_key, spec_name, n_rows, sketch) with exactly one row per
     (group, spec)."""
-    proj = df.select(
-        F.col(group_col).cast("string").alias("_g"),
-        *[_input_col(s) for s in specs],
-    )
-    spec_list = [(s.name, s.kind, dict(s.params), s.is_value) for s in specs]
+    # each distinct input expression ships once (see build._dedup_projection)
+    cols, col_index = _dedup_projection(specs)
+    proj = df.select(F.col(group_col).cast("string").alias("_g"), *cols)
+    spec_list = [(s.name, s.kind, dict(s.params), s.is_value, col_index[s.name])
+                 for s in specs]
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: dict[tuple[str, str], MergeableSketch] = {}
         nrows: dict[tuple[str, str], int] = {}
         for batch in batches:
             g = np.asarray(batch.column(0).to_pylist(), dtype=object)
-            for i, (name, kind, params, is_value) in enumerate(spec_list):
-                col = batch.column(i + 1)
+            for name, kind, params, is_value, ci in spec_list:
+                col = batch.column(ci + 1)
                 arr = col.to_numpy(zero_copy_only=False)
                 for grp in pd.unique(g):
                     if grp is None:

@@ -141,3 +141,21 @@ def test_grouped_mg_confirm_output_partition_invariant(spark, synth):
     a = run(synth.repartition(3))
     b = run(synth.repartition(17))
     assert a == b
+
+
+def test_grouped_shared_column_identity(spark, synth):
+    """kll + t-digest over the same expression ride ONE projected column
+    (build._dedup_projection, shared with the ungrouped path) — per-group
+    results identical to independent single-spec grouped builds (same
+    input partitioning, so even the merge-order-sensitive quantile
+    sketches must agree bit-for-bit)."""
+    k_spec = SketchSpec("k", "kll", "value", {"k": 200})
+    t_spec = SketchSpec("t", "tdigest", "value", {"delta": 200.0})
+    shared = collect_grouped(build_sketches_grouped(synth, "grp", [k_spec, t_spec]))
+    solo_k = collect_grouped(build_sketches_grouped(synth, "grp", [k_spec]))
+    solo_t = collect_grouped(build_sketches_grouped(synth, "grp", [t_spec]))
+    for g in ("a", "b", "c"):
+        for q in (0.1, 0.5, 0.9):
+            assert shared[(g, "k")].quantile(q) == solo_k[(g, "k")].quantile(q)
+            assert shared[(g, "t")].quantile(q) == pytest.approx(
+                solo_t[(g, "t")].quantile(q))
